@@ -1,0 +1,131 @@
+"""Shape, init, and gradient smoke tests for the model family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uformer_tpu.models import Uformer, UNet, get_arch, ARCHS
+
+
+def tiny_uformer(**kw):
+    cfg = dict(img_size=32, embed_dim=8, depths=(1,) * 9,
+               num_heads=(1, 2, 4, 8, 8, 8, 4, 2, 1), win_size=8,
+               modulator=True, attn_backend="jnp")
+    cfg.update(kw)
+    return Uformer(**cfg)
+
+
+def test_uformer_forward_shape_and_residual():
+    model = tiny_uformer()
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 32, 32, 3)
+    # zero input + global residual: output equals the conv stack output; with
+    # nonzero input the residual must appear
+    x2 = jnp.ones((1, 32, 32, 3))
+    y2 = model.apply(params, x2)
+    assert not np.allclose(np.asarray(y2), np.asarray(y))
+
+
+def test_uformer_nonsquare_input():
+    # NHWC core removes the reference's square-input restriction
+    model = tiny_uformer()
+    x = jnp.zeros((1, 32, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 32, 64, 3)
+
+
+def test_uformer_shift_flag_variants():
+    for shift_flag in (True, False):
+        model = tiny_uformer(shift_flag=shift_flag)
+        x = jnp.ones((1, 32, 32, 3)) * 0.5
+        params = model.init(jax.random.PRNGKey(1), x)
+        y = model.apply(params, x)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+def test_uformer_dd_in_4ch():
+    model = tiny_uformer(dd_in=4)
+    x = jnp.ones((1, 32, 32, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 32, 32, 3)  # no global residual for dd_in != 3
+
+
+def test_uformer_train_mode_droppath_rng():
+    model = tiny_uformer(drop_path_rate=0.5)
+    x = jnp.ones((2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y1 = model.apply(params, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    y2 = model.apply(params, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_uformer_grads_finite():
+    model = tiny_uformer()
+    x = jnp.ones((1, 32, 32, 3)) * 0.3
+    tgt = jnp.zeros_like(x)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(p):
+        y = model.apply(p, x)
+        return jnp.mean(jnp.sqrt((y - tgt) ** 2 + 1e-6))
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_unet_forward():
+    model = UNet(dim=8)
+    x = jnp.ones((1, 32, 32, 3)) * 0.2
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+
+
+def test_registry_all_archs_construct():
+    for name in ARCHS:
+        m = get_arch({"arch": name, "train_ps": 128, "embed_dim": 32})
+        assert m is not None
+
+
+def test_registry_uformer_b_param_count():
+    """Uformer_B ~ 50.88M params (reference README's scale; flops harness
+    model.py:1331-1344 prints params for Uformer16)."""
+    m = get_arch({"arch": "Uformer_B", "train_ps": 128,
+                  "attn_backend": "jnp"})
+    x = jnp.zeros((1, 128, 128, 3))
+    params = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+    n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+    assert 45e6 < n < 56e6, n
+
+
+def test_mlp_token_variant():
+    model = tiny_uformer(token_mlp="mlp")
+    x = jnp.ones((1, 32, 32, 3)) * 0.1
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+
+
+def test_conv_projection_variant():
+    model = tiny_uformer(token_projection="conv")
+    x = jnp.ones((1, 32, 32, 3)) * 0.1
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+
+
+def test_cross_modulator_variant():
+    model = tiny_uformer(cross_modulator=True)
+    x = jnp.ones((1, 32, 32, 3)) * 0.1
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == x.shape

@@ -1,0 +1,6 @@
+from uformer_tpu.convert.torch_converter import (  # noqa: F401
+    convert_checkpoint,
+    convert_uformer,
+    convert_unet,
+    load_state_dict,
+)

@@ -1,0 +1,98 @@
+"""Functional window-attention core.
+
+This is the numerics contract shared by the jnp reference path and the
+Pallas TPU kernel (`uformer_tpu.ops.pallas.window_attention`): given
+already-projected q/k/v for a batch of windows, compute
+
+    softmax((q * scale) @ k^T + rel_pos_bias [+ mask]) @ v
+
+matching `/root/reference/model.py:494-522` (WindowAttention.forward).
+Logits and softmax run in float32 regardless of input dtype (the torch
+reference runs them in fp32 under autocast as well — softmax is on the
+AMP fp32 list); the output is cast back to the input dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Populated by `uformer_tpu.ops.pallas` on import; holds the fused TPU kernel.
+_PALLAS_ATTENTION = None
+
+
+def register_pallas_attention(fn) -> None:
+    global _PALLAS_ATTENTION
+    _PALLAS_ATTENTION = fn
+
+
+def resolve_backend(backend: str = "auto") -> str:
+    """Resolve 'auto' to 'pallas' on TPU (if the kernel is registered) else 'jnp'.
+
+    Called at model-construction / trace time, not inside the kernel — the
+    choice is baked into the jitted program.
+    """
+    if backend != "auto":
+        return backend
+    if _PALLAS_ATTENTION is not None and jax.default_backend() == "tpu":
+        return "pallas"
+    return "jnp"
+
+
+def window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    scale: float,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Batched window MHSA.
+
+    Args:
+      q, k, v: (Bw, nH, N, D) — Bw = batch * num_windows, N = win*win.
+      bias: (nH, N, N) relative-position bias (fp32).
+      mask: optional additive mask, shape (nW, N, N) with Bw % nW == 0
+        (tiled over batch, reference model.py:508-513) or (Bw, N, N).
+      scale: q scaling (head_dim ** -0.5 unless qk_scale overrides).
+      backend: 'auto' | 'jnp' | 'pallas'.
+
+    Returns:
+      (Bw, N, nH*D) merged-head output, same dtype as q.
+    """
+    backend = resolve_backend(backend)
+    if backend == "pallas":
+        if _PALLAS_ATTENTION is None:
+            raise RuntimeError("pallas attention kernel not registered")
+        return _PALLAS_ATTENTION(q, k, v, bias, mask, scale=scale)
+    return _window_attention_jnp(q, k, v, bias, mask, scale=scale)
+
+
+def _window_attention_jnp(q, k, v, bias, mask, *, scale):
+    Bw, nH, N, D = q.shape
+    out_dtype = q.dtype
+    qf = q.astype(jnp.float32) * jnp.float32(scale)
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", qf, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    attn = attn + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        mask = mask.astype(jnp.float32)
+        if mask.shape[0] == Bw:
+            attn = attn + mask[:, None]
+        else:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bw // nW, nW, nH, N, N) + mask[None, :, None]
+            attn = attn.reshape(Bw, nH, N, N)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(Bw, N, nH * D)
+    return out.astype(out_dtype)
