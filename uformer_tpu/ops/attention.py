@@ -73,11 +73,12 @@ def window_attention(
 
 
 def _window_attention_jnp(q, k, v, bias, mask, *, scale):
+    # Matmuls keep the input dtype (bf16 on TPU -> native MXU path) with
+    # fp32 accumulation; logit bias-add and softmax run in fp32.
     Bw, nH, N, D = q.shape
     out_dtype = q.dtype
-    qf = q.astype(jnp.float32) * jnp.float32(scale)
     attn = jnp.einsum(
-        "bhnd,bhmd->bhnm", qf, k.astype(jnp.float32),
+        "bhnd,bhmd->bhnm", q * jnp.asarray(scale, q.dtype), k,
         preferred_element_type=jnp.float32,
     )
     attn = attn + bias.astype(jnp.float32)[None]
@@ -89,10 +90,9 @@ def _window_attention_jnp(q, k, v, bias, mask, *, scale):
             nW = mask.shape[0]
             attn = attn.reshape(Bw // nW, nW, nH, N, N) + mask[None, :, None]
             attn = attn.reshape(Bw, nH, N, N)
-    attn = jax.nn.softmax(attn, axis=-1)
+    attn = jax.nn.softmax(attn, axis=-1).astype(out_dtype)
     out = jnp.einsum(
-        "bhnm,bhmd->bhnd", attn, v.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32,
     )
     out = out.transpose(0, 2, 1, 3).reshape(Bw, N, nH * D)
     return out.astype(out_dtype)
