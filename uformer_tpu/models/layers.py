@@ -66,8 +66,11 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
-def _norm(name: str):
-    return nn.LayerNorm(epsilon=LN_EPS, name=name, dtype=jnp.float32)
+def _norm(name: str, dtype=jnp.float32):
+    """LayerNorm with torch eps; reductions are promoted to fp32 internally
+    by flax regardless of `dtype`, so bf16 here only changes the I/O dtype
+    (halves HBM traffic on the bf16 path)."""
+    return nn.LayerNorm(epsilon=LN_EPS, name=name, dtype=dtype)
 
 
 class Mlp(nn.Module):
@@ -264,7 +267,11 @@ class WindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_kv=None, mask=None, deterministic: bool = True):
+    def __call__(self, x, attn_kv=None, mask=None, deterministic: bool = True,
+                 geometry=None):
+        """geometry: optional static (H, W, shift) enabling the fused Pallas
+        kernel with the SW-MSA shift mask computed inline (mask must then
+        be None — user input-masks take the unfused path)."""
         Bw, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
@@ -296,12 +303,28 @@ class WindowAttention(nn.Module):
             if mask is not None:
                 mask = jnp.repeat(mask, ratio, axis=-1)
 
+        from uformer_tpu.ops.attention import resolve_backend
+
+        backend = resolve_backend(self.backend)
         if self.attn_drop > 0.0 and not deterministic:
             # Dropout on attention probabilities requires the unfused path.
             out = self._attn_with_dropout(q, k, v, bias, mask, scale)
+        elif backend == "pallas" and geometry is not None and mask is None:
+            from uformer_tpu.ops.pallas.window_attention import (
+                fused_window_attention)
+
+            H, W, shift = geometry
+            qt = q.transpose(1, 0, 2, 3)  # (nH, Bw, N, D)
+            kt = k.transpose(1, 0, 2, 3)
+            vt = v.transpose(1, 0, 2, 3)
+            ot = fused_window_attention(
+                qt, kt, vt, bias, win=wh, shift=shift, H=H, W=W,
+                scale=float(scale),
+                interpret=jax.default_backend() != "tpu")
+            out = ot.transpose(1, 2, 0, 3).reshape(Bw, N, C)
         else:
             out = window_attention(q, k, v, bias, mask, scale=scale,
-                                   backend=self.backend)
+                                   backend="jnp")
         out = nn.Dense(self.dim, kernel_init=dense_init, dtype=self.dtype,
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -391,18 +414,28 @@ class LeWinBlock(nn.Module):
         win, shift = self.win_size, self.shift_size
         assert 0 <= shift < win
 
-        # --- attention mask (static for given geometry) ---
+        from uformer_tpu.ops.attention import resolve_backend
+
+        fused = (resolve_backend(self.attn_backend) == "pallas"
+                 and mask is None)
+
+        # --- attention mask (static for given geometry; the fused kernel
+        # computes the shift mask inline instead) ---
         attn_mask = None
-        if mask is not None:
-            attn_mask = input_mask_bias(mask, H, W, win)  # (B*nW, N, N)
-        if shift > 0:
-            smask = jnp.asarray(shift_window_mask(H, W, win, shift))
-            if attn_mask is not None:
-                nW = smask.shape[0]
-                attn_mask = attn_mask.reshape(B, nW, win * win, win * win) + smask[None]
-                attn_mask = attn_mask.reshape(B * nW, win * win, win * win)
-            else:
-                attn_mask = smask
+        geometry = (H, W, shift) if fused else None
+        if not fused:
+            if mask is not None:
+                attn_mask = input_mask_bias(mask, H, W, win)  # (B*nW, N, N)
+            if shift > 0:
+                smask = jnp.asarray(shift_window_mask(H, W, win, shift))
+                if attn_mask is not None:
+                    nW = smask.shape[0]
+                    attn_mask = attn_mask.reshape(
+                        B, nW, win * win, win * win) + smask[None]
+                    attn_mask = attn_mask.reshape(
+                        B * nW, win * win, win * win)
+                else:
+                    attn_mask = smask
 
         if self.cross_modulator:
             cross_mod = self.param(
@@ -414,7 +447,7 @@ class LeWinBlock(nn.Module):
             # Reference quirk (model.py:947-948): norm_cross(x) is computed
             # but the *unnormalized* x feeds cross_attn. Replicated for
             # checkpoint parity; norm_cross params still exist.
-            _ = _norm("norm_cross")(xt)
+            _ = _norm("norm_cross", self.dtype)(xt)
             xc = Attention(
                 dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, attn_drop=self.attn_drop,
@@ -423,7 +456,7 @@ class LeWinBlock(nn.Module):
             x = shortcut + xc.reshape(B, H, W, C)
 
         shortcut = x
-        x = _norm("norm1")(x).astype(self.dtype)
+        x = _norm("norm1", self.dtype)(x)
         x = cyclic_shift(x, shift)
         x_windows = window_partition(x, win)  # (B*nW, N, C)
 
@@ -442,7 +475,8 @@ class LeWinBlock(nn.Module):
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
             proj_drop=self.drop, backend=self.attn_backend, dtype=self.dtype,
             name="attn",
-        )(wmsa_in, mask=attn_mask, deterministic=deterministic)
+        )(wmsa_in, mask=attn_mask, deterministic=deterministic,
+          geometry=geometry)
 
         x = window_reverse(attn_out, win, H, W)
         x = cyclic_unshift(x, shift)
@@ -450,7 +484,7 @@ class LeWinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic=deterministic)
 
-        y = _norm("norm2")(x).astype(self.dtype)
+        y = _norm("norm2", self.dtype)(x)
         if self.token_mlp in ("ffn", "mlp"):
             y = Mlp(hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
                     dtype=self.dtype, name="mlp")(y, deterministic=deterministic)

@@ -29,16 +29,15 @@ def register_pallas_attention(fn) -> None:
 
 
 def resolve_backend(backend: str = "auto") -> str:
-    """Resolve 'auto' to 'pallas' on TPU (if the kernel is registered) else 'jnp'.
+    """Resolve 'auto' to 'pallas' on TPU else 'jnp'.
 
-    Called at model-construction / trace time, not inside the kernel — the
-    choice is baked into the jitted program.
+    Called at trace time, not inside the kernel — the choice is baked into
+    the jitted program. 'pallas' on non-TPU backends runs the kernel in
+    interpret mode (used by the CPU test suite).
     """
     if backend != "auto":
         return backend
-    if _PALLAS_ATTENTION is not None and jax.default_backend() == "tpu":
-        return "pallas"
-    return "jnp"
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
 def window_attention(
