@@ -1,0 +1,191 @@
+"""Host-side datasets and the device feed.
+
+Re-designs the reference's torch Dataset/DataLoader stack
+(`/root/reference/dataset/dataset_denoise.py`, `dataset_motiondeblur.py`):
+numpy-native paired loaders with the same directory contract
+(`<dir>/groundtruth` + `<dir>/input` PNG pairs), random aligned crops and
+the 8 dihedral augmentations on the host, and a double-buffered prefetch
+iterator that overlaps host IO with device compute.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+import queue as queue_mod
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from uformer_tpu.eval.image_io import load_img
+
+_IMG_EXTS = ("*.png", "*.PNG", "*.jpg", "*.JPG", "*.jpeg", "*.bmp")
+
+
+def _list_images(d: str) -> list:
+    out = []
+    for e in _IMG_EXTS:
+        out.extend(glob.glob(os.path.join(d, e)))
+    return sorted(out)
+
+
+def _apply_dihedral(img: np.ndarray, k: int) -> np.ndarray:
+    """The 8 ops of reference Augment_RGB_torch (utils/dataset_utils.py:5-30),
+    HWC numpy."""
+    if k == 0:
+        return img
+    if k <= 3:
+        return np.rot90(img, k, (0, 1))
+    if k == 4:
+        return img[::-1]
+    return np.rot90(img, k - 4, (0, 1))[::-1]
+
+
+class PairedTrainDataset:
+    """Paired groundtruth/input patches with random crop + dihedral aug
+    (reference DataLoaderTrain, dataset_denoise.py:20-73)."""
+
+    def __init__(self, data_dir: str, patch_size: int = 128, seed: int = 1234):
+        self.gt_files = _list_images(os.path.join(data_dir, "groundtruth"))
+        self.in_files = _list_images(os.path.join(data_dir, "input"))
+        assert len(self.gt_files) == len(self.in_files) and self.gt_files, \
+            f"no paired data under {data_dir}"
+        self.ps = patch_size
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.gt_files)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        gt = load_img(self.gt_files[idx])
+        noisy = load_img(self.in_files[idx])
+        H, W = gt.shape[:2]
+        ps = self.ps
+        if H < ps or W < ps:  # edge-pad small images (reference assumes >=ps)
+            gt = np.pad(gt, ((0, max(0, ps - H)), (0, max(0, ps - W)), (0, 0)),
+                        mode="reflect")
+            noisy = np.pad(noisy,
+                           ((0, max(0, ps - H)), (0, max(0, ps - W)), (0, 0)),
+                           mode="reflect")
+            H, W = gt.shape[:2]
+        r = int(self.rng.integers(0, H - ps + 1))
+        c = int(self.rng.integers(0, W - ps + 1))
+        k = int(self.rng.integers(0, 8))
+        gt = _apply_dihedral(gt[r:r + ps, c:c + ps], k)
+        noisy = _apply_dihedral(noisy[r:r + ps, c:c + ps], k)
+        return np.ascontiguousarray(gt), np.ascontiguousarray(noisy)
+
+
+class PairedValDataset:
+    """Full-image paired val loader (reference DataLoaderVal); optional
+    center crop to val_ps (the deblur variant,
+    dataset_motiondeblur.py:143-145)."""
+
+    def __init__(self, data_dir: str, center_crop: Optional[int] = None):
+        self.gt_files = _list_images(os.path.join(data_dir, "groundtruth"))
+        self.in_files = _list_images(os.path.join(data_dir, "input"))
+        assert len(self.gt_files) == len(self.in_files) and self.gt_files, \
+            f"no paired data under {data_dir}"
+        self.center_crop = center_crop
+
+    def __len__(self):
+        return len(self.gt_files)
+
+    def __getitem__(self, idx: int):
+        gt = load_img(self.gt_files[idx])
+        noisy = load_img(self.in_files[idx])
+        if self.center_crop:
+            ps = self.center_crop
+            H, W = gt.shape[:2]
+            r, c = (H - ps) // 2, (W - ps) // 2
+            gt = gt[r:r + ps, c:c + ps]
+            noisy = noisy[r:r + ps, c:c + ps]
+        name = os.path.splitext(os.path.basename(self.in_files[idx]))[0]
+        return gt, noisy, name
+
+
+class InputOnlyDataset:
+    """Input-only loader for benchmark submissions (reference
+    DataLoaderTest, dataset_denoise.py:116-136)."""
+
+    def __init__(self, data_dir: str):
+        self.files = _list_images(data_dir)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        name = os.path.splitext(os.path.basename(self.files[idx]))[0]
+        return load_img(self.files[idx]), name
+
+
+# Factory functions mirroring the reference API
+# (dataset_denoise.py:139-150, dataset_motiondeblur.py:179-190)
+
+def get_training_data(data_dir: str, img_options: dict):
+    return PairedTrainDataset(data_dir, img_options.get("patch_size", 128))
+
+
+def get_validation_data(data_dir: str):
+    return PairedValDataset(data_dir)
+
+
+def get_validation_deblur_data(data_dir: str, img_options: Optional[dict] = None):
+    cc = (img_options or {}).get("patch_size")
+    return PairedValDataset(data_dir, center_crop=cc)
+
+
+def get_test_data(data_dir: str):
+    return InputOnlyDataset(data_dir)
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
+                   drop_last: bool = True, seed: int = 0,
+                   num_threads: int = 4) -> Iterator[dict]:
+    """Yield {'target','input'} NHWC float32 batches, loading samples with a
+    thread pool (reference uses 4 torch workers, train_denoise.py:128)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        for i0 in range(0, n, batch_size):
+            idx = order[i0:i0 + batch_size]
+            if len(idx) < batch_size and drop_last:
+                return
+            samples = list(pool.map(dataset.__getitem__, idx))
+            gt = np.stack([s[0] for s in samples])
+            noisy = np.stack([s[1] for s in samples])
+            yield {"target": gt, "input": noisy}
+
+
+def prefetch_to_device(it: Iterator[dict], size: int = 2,
+                       sharding=None) -> Iterator[dict]:
+    """Double-buffered host->device prefetch: the next batch transfers
+    while the current one computes (replaces torch pin_memory+workers)."""
+    import jax
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    stop = object()
+
+    def producer():
+        try:
+            for batch in it:
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is stop:
+            return
+        yield b

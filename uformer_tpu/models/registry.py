@@ -24,7 +24,7 @@ def _uformer(img_size, embed_dim, depths, **kw):
         img_size=img_size,
         embed_dim=embed_dim,
         depths=depths,
-        win_size=8,
+        win_size=kw.pop("win_size", 8),
         mlp_ratio=4.0,
         token_projection="linear",
         token_mlp="leff",
@@ -42,7 +42,7 @@ ARCHS = {
     # model_utils.py:64-65
     "Uformer": lambda opt: _uformer(
         opt.get("train_ps", 128), opt.get("embed_dim", 32), (2,) * 9,
-        dd_in=opt.get("dd_in", 3), dtype=opt.get("dtype", jnp.float32),
+        win_size=opt.get("win_size", 8), dd_in=opt.get("dd_in", 3), dtype=opt.get("dtype", jnp.float32),
         attn_backend=opt.get("attn_backend", "auto"),
         use_checkpoint=opt.get("use_checkpoint", False)),
     # model_utils.py:66-67

@@ -80,12 +80,13 @@ def _make_kernel(T: int, N: int, D: int, win: int, shift: int,
     return kernel
 
 
-def _pick_tile(Bw: int, nW: int) -> int:
-    """Largest T <= 64 that divides Bw. T is capped by VMEM: with N=64 and
-    lane padding to 128, q/k/v/out + fp32 logits/probs cost ~230KB per
-    window at T=64 (~8MB total) — comfortably under the ~16MB budget."""
+def _pick_tile(Bw: int, nW: int, itemsize: int) -> int:
+    """Largest T dividing Bw under the VMEM budget: with N=64, lane padding
+    to 128 and double-buffered q/k/v/out blocks plus fp32 logits/probs
+    scratch, T=64 fits for <=2-byte dtypes; fp32 inputs need T<=32."""
+    t_max = 64 if itemsize <= 2 else 32
     for t in (64, 32, 16, 8, 4, 2, 1):
-        if Bw % t == 0:
+        if t <= t_max and Bw % t == 0:
             return t
     return 1
 
@@ -105,7 +106,7 @@ def fused_window_attention(q, k, v, bias, *, win: int, shift: int,
     nW = (H // win) * (W // win)
     assert N == win * win, (N, win)
     assert Bw % nW == 0, (Bw, nW)
-    T = _pick_tile(Bw, nW)
+    T = _pick_tile(Bw, nW, q.dtype.itemsize)
     kernel = _make_kernel(T, N, D, win, shift, H, W, scale, q.dtype)
 
     grid = (nH, Bw // T)

@@ -1,0 +1,71 @@
+"""Checkpoint save/restore (reference `/root/reference/utils/model_utils.py:18-54`
+and the trainers' best/latest/epoch-N protocol, train_denoise.py:207-235).
+
+Orbax-backed `{epoch, params, opt_state}` checkpoints with the same three
+roles (model_best, model_latest, model_epoch_N). `load_params` also accepts
+a torch `.pth` file and converts it (the reference checkpoint format),
+so released reference checkpoints drop straight in.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(model_dir: str, name: str, epoch: int, params: Any,
+                    opt_state: Any = None) -> str:
+    """Save {epoch, params, opt_state} under <model_dir>/<name>."""
+    path = os.path.abspath(os.path.join(model_dir, name))
+    ckpt = {"epoch": np.int64(epoch),
+            "params": jax.device_get(params)}
+    if opt_state is not None:
+        ckpt["opt_state"] = jax.device_get(opt_state)
+    _checkpointer().save(path, ckpt, force=True)
+    return path
+
+
+def load_checkpoint(path: str, target: Optional[dict] = None) -> dict:
+    """Restore a checkpoint; pass `target` (a matching pytree of arrays) to
+    recover container types that serialization flattens (optax NamedTuple
+    states restore as dicts without it)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if target is not None:
+        return _checkpointer().restore(
+            path, args=ocp.args.PyTreeRestore(item=target))
+    return _checkpointer().restore(path)
+
+
+def load_start_epoch(path: str) -> int:
+    """Reference load_start_epoch (model_utils.py:40-44)."""
+    return int(load_checkpoint(path)["epoch"])
+
+
+def load_params(path: str, arch: str = "Uformer_B") -> Any:
+    """Load params from an orbax dir or a torch .pth (auto-converted via
+    uformer_tpu.convert; handles the DataParallel module. prefix)."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from uformer_tpu.convert import convert_checkpoint
+
+        return jax.tree_util.tree_map(
+            np.asarray, convert_checkpoint(path, arch))
+    ckpt = load_checkpoint(path)
+    return ckpt["params"]
+
+
+def load_optim(path: str) -> Tuple[Any, int]:
+    """Restore (opt_state, epoch) for resume (reference load_optim,
+    model_utils.py:47-54)."""
+    ckpt = load_checkpoint(path)
+    return ckpt.get("opt_state"), int(ckpt["epoch"])
