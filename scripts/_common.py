@@ -44,6 +44,10 @@ def build_restorer(args):
     from uformer_tpu.train.checkpoints import load_params
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if dtype == jnp.float32:
+        # TPU fp32 matmuls default to single-pass bf16 (~4e-3 error) —
+        # checkpoint-parity eval needs true fp32 accumulation.
+        jax.config.update("jax_default_matmul_precision", "highest")
     model = get_arch({"arch": args.arch, "embed_dim": args.embed_dim,
                       "train_ps": args.train_ps, "dd_in": args.dd_in,
                       "dtype": dtype})

@@ -1,0 +1,78 @@
+"""Block-fused attention kernel vs jnp reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uformer_tpu.models import Uformer
+from uformer_tpu.ops.pallas.attention_block import (
+    attention_block_reference,
+    fused_attention_block,
+)
+from uformer_tpu.utils import init_params_fast
+
+
+def _inputs(seed, Bw, N, C, nH):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32)) * 0.2  # noqa
+    return dict(
+        x=mk(Bw, N, C), mod=mk(N, C), wq=mk(C, C), bq=mk(C),
+        wkv=mk(C, 2 * C), bkv=mk(2 * C), wo=mk(C, C), bo=mk(C),
+        bias=mk(nH, N, N),
+    )
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+@pytest.mark.parametrize("nH", [1, 4])
+def test_fused_block_matches_reference(shift, nH):
+    H = W = 16
+    win, B, C = 8, 2, 32
+    N = win * win
+    nW = (H // win) * (W // win)
+    Bw = B * nW
+    kw = dict(win=win, shift=shift, H=H, W=W, scale=0.17, num_heads=nH)
+    inp = _inputs(0, Bw, N, C, nH)
+    want = attention_block_reference(**inp, **kw)
+    got = fused_attention_block(*inp.values(), interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_fused_block_gradient_matches_reference():
+    H = W = 8
+    win, B, C, nH = 8, 1, 16, 2
+    N = win * win
+    Bw = B
+    kw = dict(win=win, shift=0, H=H, W=W, scale=0.25, num_heads=nH)
+    inp = _inputs(1, Bw, N, C, nH)
+    from uformer_tpu.ops.pallas.attention_block import fused_attention_block_ad
+
+    def loss_fused(*args):
+        return jnp.sum(fused_attention_block_ad(
+            *args, interpret=True, **kw) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(attention_block_reference(*args, **kw) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 2, 4, 6))(*inp.values())
+    g2 = jax.grad(loss_ref, argnums=(0, 2, 4, 6))(*inp.values())
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_model_fused_block_matches_jnp_backend():
+    kw = dict(img_size=32, embed_dim=8, depths=(1,) * 9,
+              num_heads=(1, 2, 4, 8, 8, 8, 4, 2, 1), win_size=8,
+              modulator=True, shift_flag=True)
+    m_jnp = Uformer(attn_backend="jnp", **kw)
+    m_pal = Uformer(attn_backend="pallas", **kw)
+    x = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (1, 32, 32, 3))
+        .astype(np.float32))
+    params = init_params_fast(m_jnp, x)
+    y1 = m_jnp.apply(params, x)
+    y2 = m_pal.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=1e-4, rtol=1e-4)

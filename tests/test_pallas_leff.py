@@ -1,0 +1,66 @@
+"""Fused LeFF / dwconv Pallas kernels vs jnp references (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uformer_tpu.models import Uformer
+from uformer_tpu.ops.dwconv import _depthwise_conv2d_jnp
+from uformer_tpu.ops.pallas.dwconv import dwconv3x3
+from uformer_tpu.ops.pallas.leff import fused_leff, leff_reference
+from uformer_tpu.utils import init_params_fast
+
+
+@pytest.mark.parametrize("shape,hidden", [((2, 16, 24, 8), 32),
+                                          ((1, 8, 8, 16), 64),
+                                          ((1, 12, 20, 4), 16)])
+def test_fused_leff_matches_reference(shape, hidden):
+    rng = np.random.default_rng(0)
+    B, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32)) * 0.5
+    w1 = jnp.asarray(rng.normal(size=(C, hidden)).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.normal(size=(hidden,)).astype(np.float32)) * 0.1
+    wd = jnp.asarray(rng.normal(size=(3, 3, hidden)).astype(np.float32)) * 0.3
+    bd = jnp.asarray(rng.normal(size=(hidden,)).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.normal(size=(hidden, C)).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32)) * 0.1
+
+    want = leff_reference(x, w1, b1, wd, bd, w2, b2)
+    got = fused_leff(x, w1, b1, wd, bd, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_dwconv3x3_matches_jnp():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    want = _depthwise_conv2d_jnp(x, w, b)
+    got = dwconv3x3(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    # no-bias variant
+    got2 = dwconv3x3(x, w, None, interpret=True)
+    want2 = _depthwise_conv2d_jnp(x, w, None)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fastleff_model_variant_runs():
+    """token_mlp='fastleff' routes LeFF through the Pallas path (interpret
+    on CPU) and matches the jnp leff numerically with shared params."""
+    kw = dict(img_size=32, embed_dim=8, depths=(1,) * 9,
+              num_heads=(1, 2, 4, 8, 8, 8, 4, 2, 1), win_size=8,
+              modulator=True, shift_flag=False, attn_backend="jnp")
+    m_fast = Uformer(token_mlp="fastleff", **kw)
+    m_leff = Uformer(token_mlp="leff", **kw)
+    x = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (1, 32, 32, 3))
+        .astype(np.float32))
+    params = init_params_fast(m_leff, x)
+    y_fast = m_fast.apply(params, x)
+    y_leff = m_leff.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_leff),
+                               atol=1e-4, rtol=1e-4)

@@ -72,8 +72,10 @@ def _leff(sd, prefix):
     # weight (C,1,3,3)).
     dw = sd[f"{prefix}.dwconv.0.weight"]  # (C, 1, 3, 3)
     p = {
-        "linear1": _linear(sd, f"{prefix}.linear1.0"),
-        "linear2": _linear(sd, f"{prefix}.linear2.0"),
+        "linear1_kernel": sd[f"{prefix}.linear1.0.weight"].T,
+        "linear1_bias": sd[f"{prefix}.linear1.0.bias"],
+        "linear2_kernel": sd[f"{prefix}.linear2.0.weight"].T,
+        "linear2_bias": sd[f"{prefix}.linear2.0.bias"],
         "dwconv_kernel": dw[:, 0].transpose(1, 2, 0),  # (3, 3, C)
         "dwconv_bias": sd[f"{prefix}.dwconv.0.bias"],
     }

@@ -118,13 +118,14 @@ class Eca1d(nn.Module):
 
 class LeFF(nn.Module):
     """Locally-enhanced FFN (reference model.py:654-699): Linear-GELU ->
-    3x3 depthwise conv - GELU -> Linear, on the full (H, W) layout.
+    3x3 depthwise conv -> GELU -> Linear, on the full (H, W) layout.
 
     The reference reshapes tokens via sqrt(hw); NHWC makes that a no-op.
-    `dw_backend` selects the depthwise-conv path ('auto' uses the Pallas
-    kernel on TPU); `fastleff` in the arch registry maps here with the
-    Pallas backend forced, mirroring the reference's torch_dwconv CUDA
-    extension (model.py:14-58).
+    On TPU ('auto' backend) the whole pipeline runs as one fused Pallas
+    kernel (uformer_tpu.ops.pallas.leff) so the 4x-wide hidden tensor
+    never leaves VMEM; `fastleff` maps here with the kernel forced,
+    mirroring the reference's torch_dwconv CUDA extension (model.py:14-58).
+    Params are flat (linear1_kernel, ...) so both paths share them.
     """
 
     hidden_dim: int
@@ -135,23 +136,49 @@ class LeFF(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from uformer_tpu.ops.attention import resolve_backend
+
         dim = x.shape[-1]
-        x = nn.Dense(self.hidden_dim, kernel_init=dense_init, dtype=self.dtype,
-                     name="linear1")(x)
-        x = gelu(x)
-        w = self.param(
+        w1 = self.param("linear1_kernel", dense_init, (dim, self.hidden_dim))
+        b1 = self.param("linear1_bias", nn.initializers.zeros,
+                        (self.hidden_dim,))
+        wd = self.param(
             "dwconv_kernel",
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             (3, 3, self.hidden_dim),
         )
-        b = self.param("dwconv_bias", nn.initializers.zeros, (self.hidden_dim,))
-        x = depthwise_conv2d(x, w, b, backend=self.dw_backend)
-        x = gelu(x)
-        x = nn.Dense(dim, kernel_init=dense_init, dtype=self.dtype,
-                     name="linear2")(x)
+        bd = self.param("dwconv_bias", nn.initializers.zeros,
+                        (self.hidden_dim,))
+        w2 = self.param("linear2_kernel", dense_init, (self.hidden_dim, dim))
+        b2 = self.param("linear2_bias", nn.initializers.zeros, (dim,))
+
+        backend = resolve_backend(self.dw_backend)
+        if backend == "pallas" and (self.drop == 0.0 or deterministic) \
+                and jax.default_backend() == "tpu":
+            from uformer_tpu.ops.pallas.leff import fused_leff_ad
+
+            out = fused_leff_ad(
+                x, w1.astype(x.dtype), b1, wd.astype(x.dtype), bd,
+                w2.astype(x.dtype), b2)
+        elif backend == "pallas":
+            from uformer_tpu.ops.pallas.leff import fused_leff
+
+            out = fused_leff(
+                x, w1.astype(x.dtype), b1, wd.astype(x.dtype), bd,
+                w2.astype(x.dtype), b2, interpret=True)
+        else:
+            cd = self.dtype
+            y = (x.astype(cd) @ w1.astype(cd)) + b1.astype(cd)
+            y = gelu(y)
+            y = depthwise_conv2d(y, wd, bd, backend="jnp")
+            y = gelu(y)
+            y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+            out = (y @ w2.astype(cd)) + b2.astype(cd)
+            out = nn.Dropout(self.drop)(out, deterministic=deterministic)
         if self.use_eca:
-            x = Eca1d(name="eca")(x)
-        return x
+            out = Eca1d(name="eca")(out)
+        return out
+
 
 
 class SepConv2d(nn.Module):
@@ -247,12 +274,47 @@ class ConvProjection(nn.Module):
         return heads(q), heads(k), heads(v)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder producing the same tree as nn.Dense without running
+    its matmul — used by fused-kernel paths that consume raw weights."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", dense_init,
+                       (self.features_in, self.features_out))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features_out,)) if self.use_bias else None
+        return k, b
+
+
+class _LinearQKVParams(nn.Module):
+    """Parameter tree identical to LinearProjection (to_q/to_kv Dense)."""
+
+    dim: int
+    inner: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(self.dim, self.inner, self.use_bias,
+                              name="to_q")()
+        wkv, bkv = _DenseParams(self.dim, 2 * self.inner, self.use_bias,
+                                name="to_kv")()
+        return wq, bq, wkv, bkv
+
+
 class WindowAttention(nn.Module):
     """Window MHSA with relative position bias (reference model.py:452-546).
 
     Operates on pre-partitioned windows `(Bw, N, C)`; the relative-position
     bias table and index construction match the reference exactly so torch
-    checkpoints convert losslessly.
+    checkpoints convert losslessly. On TPU with linear projection and no
+    user mask, the whole modulator+qkv+attention+proj pipeline runs as one
+    block-fused Pallas kernel.
     """
 
     dim: int
@@ -268,10 +330,12 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_kv=None, mask=None, deterministic: bool = True,
-                 geometry=None):
+                 geometry=None, modulator=None):
         """geometry: optional static (H, W, shift) enabling the fused Pallas
-        kernel with the SW-MSA shift mask computed inline (mask must then
-        be None — user input-masks take the unfused path)."""
+        kernels with the SW-MSA shift mask computed inline (mask must then
+        be None — user input-masks take the unfused path). `modulator` is
+        the learned per-window embedding added to the attention input
+        (reference model.py:966-969), folded into the fused kernel."""
         Bw, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
@@ -282,6 +346,39 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(stddev=0.02),
             ((2 * wh - 1) * (2 * ww - 1), self.num_heads),
         )
+        bias = gather_bias(table.astype(jnp.float32), wh, ww)  # (nH, N, N)
+
+        from uformer_tpu.ops.attention import resolve_backend
+
+        backend = resolve_backend(self.backend)
+        fused_block_ok = (
+            backend == "pallas" and geometry is not None and mask is None
+            and attn_kv is None and self.token_projection == "linear"
+            and not (self.attn_drop > 0.0 and not deterministic))
+        if fused_block_ok:
+            from uformer_tpu.ops.pallas.attention_block import (
+                fused_attention_block_ad)
+
+            H, W, shift = geometry
+            wq, bq, wkv, bkv = _LinearQKVParams(
+                self.dim, self.num_heads * head_dim, self.qkv_bias,
+                name="qkv")()
+            wo, bo = _DenseParams(self.dim, self.dim, True, name="proj")()
+            zeros = lambda n: jnp.zeros((n,), x.dtype)  # noqa: E731
+            out = fused_attention_block_ad(
+                x, modulator,
+                wq.astype(x.dtype), bq if bq is not None else zeros(self.dim),
+                wkv.astype(x.dtype),
+                bkv if bkv is not None else zeros(2 * self.dim),
+                wo.astype(x.dtype), bo,
+                bias, win=wh, shift=shift, H=H, W=W, scale=float(scale),
+                num_heads=self.num_heads,
+                interpret=jax.default_backend() != "tpu")
+            return nn.Dropout(self.proj_drop)(out,
+                                              deterministic=deterministic)
+
+        if modulator is not None:
+            x = x + modulator.astype(x.dtype)
         if self.token_projection == "conv":
             proj_cls = ConvProjection
         elif self.token_projection == "linear":
@@ -293,7 +390,6 @@ class WindowAttention(nn.Module):
             dtype=self.dtype, name="qkv",
         )(x, attn_kv)
 
-        bias = gather_bias(table.astype(jnp.float32), wh, ww)  # (nH, N, N)
         n_kv = k.shape[2]
         if n_kv != N:
             # kv longer than win**2 (cross-attention): tile bias/mask along kv
@@ -303,25 +399,9 @@ class WindowAttention(nn.Module):
             if mask is not None:
                 mask = jnp.repeat(mask, ratio, axis=-1)
 
-        from uformer_tpu.ops.attention import resolve_backend
-
-        backend = resolve_backend(self.backend)
         if self.attn_drop > 0.0 and not deterministic:
             # Dropout on attention probabilities requires the unfused path.
             out = self._attn_with_dropout(q, k, v, bias, mask, scale)
-        elif backend == "pallas" and geometry is not None and mask is None:
-            from uformer_tpu.ops.pallas.window_attention import (
-                fused_window_attention)
-
-            H, W, shift = geometry
-            qt = q.transpose(1, 0, 2, 3)  # (nH, Bw, N, D)
-            kt = k.transpose(1, 0, 2, 3)
-            vt = v.transpose(1, 0, 2, 3)
-            ot = fused_window_attention(
-                qt, kt, vt, bias, win=wh, shift=shift, H=H, W=W,
-                scale=float(scale),
-                interpret=jax.default_backend() != "tpu")
-            out = ot.transpose(1, 2, 0, 3).reshape(Bw, N, C)
         else:
             out = window_attention(q, k, v, bias, mask, scale=scale,
                                    backend="jnp")
@@ -460,14 +540,12 @@ class LeWinBlock(nn.Module):
         x = cyclic_shift(x, shift)
         x_windows = window_partition(x, win)  # (B*nW, N, C)
 
+        mod = None
         if self.modulator:
             mod = self.param(
                 "modulator", nn.initializers.normal(stddev=1.0),
                 (win * win, self.dim),
             )
-            wmsa_in = x_windows + mod.astype(x_windows.dtype)
-        else:
-            wmsa_in = x_windows
 
         attn_out = WindowAttention(
             dim=self.dim, win_size=(win, win), num_heads=self.num_heads,
@@ -475,8 +553,8 @@ class LeWinBlock(nn.Module):
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
             proj_drop=self.drop, backend=self.attn_backend, dtype=self.dtype,
             name="attn",
-        )(wmsa_in, mask=attn_mask, deterministic=deterministic,
-          geometry=geometry)
+        )(x_windows, mask=attn_mask, deterministic=deterministic,
+          geometry=geometry, modulator=mod)
 
         x = window_reverse(attn_out, win, H, W)
         x = cyclic_unshift(x, shift)

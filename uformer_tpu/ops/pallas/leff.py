@@ -1,0 +1,205 @@
+"""Fused LeFF Pallas TPU kernel: Linear -> GELU -> 3x3 depthwise conv ->
+GELU -> Linear in one VMEM-resident pipeline.
+
+The LeFF hidden tensor is mlp_ratio(=4)x wider than the activations; on
+the XLA path it round-trips HBM four times per block (write after
+linear1, read/write around the dwconv, read for linear2) — the single
+largest traffic term of a Uformer forward. Here the hidden tile lives in
+VMEM: per grid step the kernel takes an H-tile of the input with a
+1-row/col halo, runs both matmuls on the MXU and the 9-tap depthwise conv
+on the VPU, and writes only the final C-wide output.
+
+Halo handling: Mosaic DMA requires 128-aligned minor dims, which C=32/64
+stages violate, so instead of manual halo DMA the wrapper materializes an
+overlapped-tiles gather (B, nT, Th+2, W+2, C) in HBM — one extra ~|x|
+read/write, small against the ~16|x| of hidden traffic saved — and the
+kernel uses plain BlockSpec blocking.
+
+This kernel is also the TPU-native answer to the reference's one custom
+CUDA kernel (torch_dwconv.DepthwiseConv2d used by FastLeFF,
+/root/reference/model.py:14-58): `fastleff` routes here.
+
+Layout: x (B, H, W, C) NHWC; weights w1 (C, Ch), wd (3, 3, Ch),
+w2 (Ch, C); GELU is the erf form (matching torch nn.GELU) via a
+rational-polynomial erf (Mosaic lowers neither erf nor erfc).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf approximation (|err|<=1.5e-7)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+_ERF_POLY = (1.1033873441319648, -0.3090749331219953, 0.05824505638375671,
+             -0.005567171091769563, 0.00020592371294296416)
+
+
+def _erf_poly(z):
+    """Odd-polynomial erf (|err| <= 7.4e-3 globally, < 1 bf16 ulp) — ~2x
+    fewer VPU ops than the exp-based form; bf16-path only."""
+    z2 = z * z
+    c0, c1, c2, c3, c4 = _ERF_POLY
+    p = c0 + z2 * (c1 + z2 * (c2 + z2 * (c3 + z2 * c4)))
+    return jnp.clip(z * p, -1.0, 1.0)
+
+
+def _gelu(x):
+    """erf-form GELU matching torch nn.GELU: exact-poly (~1e-7) for fp32,
+    cheap odd-poly (< 1 ulp) for bf16."""
+    xf = x.astype(jnp.float32)
+    erf_fn = _erf if x.dtype == jnp.float32 else _erf_poly
+    return (0.5 * xf * (1.0 + erf_fn(xf * (2.0 ** -0.5)))).astype(x.dtype)
+
+
+def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
+    """(B, H+2, W+2, C) -> (B, nT, Th+2, W+2, C) with 2-row overlap."""
+    H = xp.shape[1] - 2
+    nT = H // Th
+    idx = (jnp.arange(nT)[:, None] * Th + jnp.arange(Th + 2)[None]).reshape(-1)
+    tiles = jnp.take(xp, idx, axis=1)
+    return tiles.reshape(xp.shape[0], nT, Th + 2, *xp.shape[2:])
+
+
+def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, out_dtype):
+    def kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, o_ref):
+        t = pl.program_id(1)
+        xt = x_ref[0, 0]  # (Th+2, W+2, C)
+        prec = (jax.lax.Precision.HIGHEST
+                if xt.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        hid = jax.lax.dot_general(
+            xt.reshape((Th + 2) * (W + 2), C), w1_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        hid = _gelu(hid + b1_ref[:].astype(jnp.float32))
+        hid = hid.reshape(Th + 2, W + 2, Ch)
+        # zero the conv padding ring: the reference zero-pads *after*
+        # linear1+GELU, where gelu(b1) != 0 would otherwise leak in.
+        # fp32 mask multiply (Mosaic minor-dim insertion needs 32-bit).
+        row = jax.lax.broadcasted_iota(jnp.int32, (Th + 2, W + 2), 0) + t * Th
+        col = jax.lax.broadcasted_iota(jnp.int32, (Th + 2, W + 2), 1)
+        valid = ((row > 0) & (row < H + 1) & (col > 0) & (col < W + 1)
+                 ).astype(jnp.float32)
+        hid = (hid * valid[:, :, None]).astype(xt.dtype)
+
+        # 9-tap depthwise conv, valid on the interior (Th, W)
+        acc = jnp.zeros((Th, W, Ch), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = hid[dy:dy + Th, dx:dx + W, :]
+                acc += tap.astype(jnp.float32) * \
+                    wd_ref[dy, dx, :].astype(jnp.float32)
+        acc = _gelu(acc + bd_ref[:].astype(jnp.float32))
+
+        out = jax.lax.dot_general(
+            acc.astype(xt.dtype).reshape(Th * W, Ch), w2_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        out = out + b2_ref[:].astype(jnp.float32)
+        o_ref[0] = out.reshape(Th, W, C).astype(out_dtype)
+
+    return kernel
+
+
+def _pick_th(H: int, W: int, Ch: int, itemsize: int,
+             budget: int | None = None) -> int:
+    """Tile height: the hidden tile (Th+2, W+2, Ch) dominates VMEM; keep it
+    (plus the fp32 conv accumulator) under ~5MB."""
+    if budget is None:  # fp32 tiles are 2x + HIGHEST-precision scratch
+        budget = (10 if itemsize <= 2 else 4) * 2**20
+    per_row = (W + 2) * max(Ch, 128) * (itemsize + 4)  # bf16 hid + f32 acc
+    th = max(budget // max(per_row, 1) - 2, 1)
+    th = min(th, H)
+    while H % th:
+        th -= 1
+    return th
+
+
+def leff_reference(x, w1, b1, wd, bd, w2, b2):
+    """jnp reference of the fused pipeline (for CPU, tests, and the
+    backward pass)."""
+    from uformer_tpu.ops.dwconv import _depthwise_conv2d_jnp
+
+    def g(v):
+        return jax.nn.gelu(v, approximate=False)
+
+    y = (x @ w1.astype(x.dtype)) + b1.astype(x.dtype)
+    y = g(y)
+    y = _depthwise_conv2d_jnp(y, wd, bd)
+    y = g(y)
+    return (y @ w2.astype(x.dtype)) + b2.astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_leff_ad(x, w1, b1, wd, bd, w2, b2):
+    """Differentiable wrapper: Pallas forward, reference-jnp VJP backward.
+    The backward recomputes the hidden activations (rematerialization —
+    the same memory policy the reference reaches for with
+    torch.utils.checkpoint, model.py:1056)."""
+    return fused_leff(x, w1, b1, wd, bd, w2, b2)
+
+
+def _fused_leff_fwd(x, w1, b1, wd, bd, w2, b2):
+    return fused_leff(x, w1, b1, wd, bd, w2, b2), (x, w1, b1, wd, bd, w2, b2)
+
+
+def _fused_leff_bwd(res, g):
+    _, vjp = jax.vjp(leff_reference, *res)
+    return vjp(g)
+
+
+fused_leff_ad.defvjp(_fused_leff_fwd, _fused_leff_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_leff(x, w1, b1, wd, bd, w2, b2, *, interpret: bool = False):
+    """x: (B, H, W, C); returns (B, H, W, C). SAME-padded 3x3 depthwise."""
+    B, H, W, C = x.shape
+    Ch = w1.shape[1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    Th = _pick_th(H, W, Ch, x.dtype.itemsize)
+    x_ov = overlapped_tiles(xp, Th)  # (B, nT, Th+2, W+2, C)
+    kernel = _make_kernel(Th, H, W, C, Ch, x.dtype)
+
+    nT = H // Th
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, 1, Th + 2, W + 2, C),
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wd
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
+        ],
+        out_specs=pl.BlockSpec((1, Th, W, C), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * Ch * (2 * C + 9),
+            bytes_accessed=3 * B * H * W * C * x.dtype.itemsize,
+            transcendentals=2 * B * H * W * Ch,
+        ),
+    )(x_ov, w1, b1, wd, bd, w2, b2)
