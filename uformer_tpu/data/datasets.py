@@ -44,15 +44,60 @@ def _apply_dihedral(img: np.ndarray, k: int) -> np.ndarray:
 
 class PairedTrainDataset:
     """Paired groundtruth/input patches with random crop + dihedral aug
-    (reference DataLoaderTrain, dataset_denoise.py:20-73)."""
+    (reference DataLoaderTrain, dataset_denoise.py:20-73).
 
-    def __init__(self, data_dir: str, patch_size: int = 128, seed: int = 1234):
+    `native='auto'` uses the C++ data-plane (uformer_tpu.data.native:
+    fused crop+dihedral+normalize, multi-threaded) when the shared
+    library builds; numpy otherwise.
+    """
+
+    def __init__(self, data_dir: str, patch_size: int = 128, seed: int = 1234,
+                 native: object = "auto"):
         self.gt_files = _list_images(os.path.join(data_dir, "groundtruth"))
         self.in_files = _list_images(os.path.join(data_dir, "input"))
         assert len(self.gt_files) == len(self.in_files) and self.gt_files, \
             f"no paired data under {data_dir}"
         self.ps = patch_size
         self.rng = np.random.default_rng(seed)
+        if native == "auto":
+            from uformer_tpu.data.native import native_available
+
+            self.use_native = native_available()
+        else:
+            self.use_native = bool(native)
+
+    def _load_u8(self, path: str) -> np.ndarray:
+        import cv2
+
+        return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+
+    def get_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched fused path (C++ when available)."""
+        if not self.use_native:
+            samples = [self[i] for i in indices]
+            return (np.stack([s[0] for s in samples]),
+                    np.stack([s[1] for s in samples]))
+        from uformer_tpu.data.native import augment_pair_batch
+
+        gts, nys, rows, cols, ks = [], [], [], [], []
+        ps = self.ps
+        for i in indices:
+            g = self._load_u8(self.gt_files[i])
+            n = self._load_u8(self.in_files[i])
+            H, W = g.shape[:2]
+            if H < ps or W < ps:
+                g = np.pad(g, ((0, max(0, ps - H)), (0, max(0, ps - W)),
+                               (0, 0)), mode="reflect")
+                n = np.pad(n, ((0, max(0, ps - H)), (0, max(0, ps - W)),
+                               (0, 0)), mode="reflect")
+                H, W = g.shape[:2]
+            gts.append(g)
+            nys.append(n)
+            rows.append(int(self.rng.integers(0, H - ps + 1)))
+            cols.append(int(self.rng.integers(0, W - ps + 1)))
+            ks.append(int(self.rng.integers(0, 8)))
+        return augment_pair_batch(gts, nys, ps, np.asarray(rows),
+                                  np.asarray(cols), np.asarray(ks))
 
     def __len__(self):
         return len(self.gt_files)
@@ -151,14 +196,19 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    use_native = getattr(dataset, "use_native", False) and \
+        hasattr(dataset, "get_batch")
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
         for i0 in range(0, n, batch_size):
             idx = order[i0:i0 + batch_size]
             if len(idx) < batch_size and drop_last:
                 return
-            samples = list(pool.map(dataset.__getitem__, idx))
-            gt = np.stack([s[0] for s in samples])
-            noisy = np.stack([s[1] for s in samples])
+            if use_native:
+                gt, noisy = dataset.get_batch(idx)
+            else:
+                samples = list(pool.map(dataset.__getitem__, idx))
+                gt = np.stack([s[0] for s in samples])
+                noisy = np.stack([s[1] for s in samples])
             yield {"target": gt, "input": noisy}
 
 
