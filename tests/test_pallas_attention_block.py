@@ -17,7 +17,8 @@ def _inputs(seed, Bw, N, C, nH):
     rng = np.random.default_rng(seed)
     mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32)) * 0.2  # noqa
     return dict(
-        x=mk(Bw, N, C), mod=mk(N, C), wq=mk(C, C), bq=mk(C),
+        x=mk(Bw, N, C), mod=mk(N, C), ln_s=1.0 + 0.1 * mk(C),
+        ln_b=0.1 * mk(C), wq=mk(C, C), bq=mk(C),
         wkv=mk(C, 2 * C), bkv=mk(2 * C), wo=mk(C, C), bo=mk(C),
         bias=mk(nH, N, N),
     )
@@ -55,8 +56,8 @@ def test_fused_block_gradient_matches_reference():
     def loss_ref(*args):
         return jnp.sum(attention_block_reference(*args, **kw) ** 2)
 
-    g1 = jax.grad(loss_fused, argnums=(0, 2, 4, 6))(*inp.values())
-    g2 = jax.grad(loss_ref, argnums=(0, 2, 4, 6))(*inp.values())
+    g1 = jax.grad(loss_fused, argnums=(0, 2, 4, 6, 8))(*inp.values())
+    g2 = jax.grad(loss_ref, argnums=(0, 2, 4, 6, 8))(*inp.values())
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)

@@ -30,6 +30,14 @@ def test_fused_leff_matches_reference(shape, hidden):
     got = fused_leff(x, w1, b1, wd, bd, w2, b2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+    # folded-LN variant
+    ln_s = jnp.asarray(rng.normal(size=(C,)).astype(np.float32)) * 0.1 + 1.0
+    ln_b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32)) * 0.1
+    want = leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=ln_s, ln_b=ln_b)
+    got = fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=ln_s, ln_b=ln_b,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
 
 
 def test_dwconv3x3_matches_jnp():

@@ -135,7 +135,7 @@ class LeFF(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln_params=None):
         from uformer_tpu.ops.attention import resolve_backend
 
         dim = x.shape[-1]
@@ -152,6 +152,7 @@ class LeFF(nn.Module):
         w2 = self.param("linear2_kernel", dense_init, (self.hidden_dim, dim))
         b2 = self.param("linear2_bias", nn.initializers.zeros, (dim,))
 
+        ln_s, ln_b = ln_params if ln_params is not None else (None, None)
         backend = resolve_backend(self.dw_backend)
         if backend == "pallas" and (self.drop == 0.0 or deterministic) \
                 and jax.default_backend() == "tpu":
@@ -159,15 +160,23 @@ class LeFF(nn.Module):
 
             out = fused_leff_ad(
                 x, w1.astype(x.dtype), b1, wd.astype(x.dtype), bd,
-                w2.astype(x.dtype), b2)
+                w2.astype(x.dtype), b2, ln_s=ln_s, ln_b=ln_b)
         elif backend == "pallas":
             from uformer_tpu.ops.pallas.leff import fused_leff
 
             out = fused_leff(
                 x, w1.astype(x.dtype), b1, wd.astype(x.dtype), bd,
-                w2.astype(x.dtype), b2, interpret=True)
+                w2.astype(x.dtype), b2, ln_s=ln_s, ln_b=ln_b,
+                interpret=True)
         else:
             cd = self.dtype
+            if ln_params is not None:
+                xf = x.astype(jnp.float32)
+                mu = xf.mean(-1, keepdims=True)
+                var = xf.var(-1, keepdims=True)
+                x = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+                     * ln_s.astype(jnp.float32)
+                     + ln_b.astype(jnp.float32)).astype(cd)
             y = (x.astype(cd) @ w1.astype(cd)) + b1.astype(cd)
             y = gelu(y)
             y = depthwise_conv2d(y, wd, bd, backend="jnp")
@@ -274,6 +283,19 @@ class ConvProjection(nn.Module):
         return heads(q), heads(k), heads(v)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching nn.LayerNorm's tree (scale/bias) without
+    running it — for kernels that fold the LayerNorm in."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
 class _DenseParams(nn.Module):
     """Parameter holder producing the same tree as nn.Dense without running
     its matmul — used by fused-kernel paths that consume raw weights."""
@@ -330,7 +352,7 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_kv=None, mask=None, deterministic: bool = True,
-                 geometry=None, modulator=None):
+                 geometry=None, modulator=None, ln_params=None):
         """geometry: optional static (H, W, shift) enabling the fused Pallas
         kernels with the SW-MSA shift mask computed inline (mask must then
         be None — user input-masks take the unfused path). `modulator` is
@@ -365,18 +387,30 @@ class WindowAttention(nn.Module):
                 name="qkv")()
             wo, bo = _DenseParams(self.dim, self.dim, True, name="proj")()
             zeros = lambda n: jnp.zeros((n,), x.dtype)  # noqa: E731
+            ln_s, ln_b = (ln_params if ln_params is not None
+                          else (None, None))
             out = fused_attention_block_ad(
-                x, modulator,
+                x, modulator, ln_s, ln_b,
                 wq.astype(x.dtype), bq if bq is not None else zeros(self.dim),
                 wkv.astype(x.dtype),
                 bkv if bkv is not None else zeros(2 * self.dim),
                 wo.astype(x.dtype), bo,
                 bias, win=wh, shift=shift, H=H, W=W, scale=float(scale),
-                num_heads=self.num_heads,
+                num_heads=self.num_heads, has_ln=ln_params is not None,
                 interpret=jax.default_backend() != "tpu")
             return nn.Dropout(self.proj_drop)(out,
                                               deterministic=deterministic)
 
+        if ln_params is not None:
+            # block-level LN was deferred to us but the fused path wasn't
+            # taken — apply it here
+            sc, bi = ln_params
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            var = xf.var(-1, keepdims=True)
+            x = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+                 * sc.astype(jnp.float32)
+                 + bi.astype(jnp.float32)).astype(self.dtype)
         if modulator is not None:
             x = x + modulator.astype(x.dtype)
         if self.token_projection == "conv":
@@ -536,7 +570,17 @@ class LeWinBlock(nn.Module):
             x = shortcut + xc.reshape(B, H, W, C)
 
         shortcut = x
-        x = _norm("norm1", self.dtype)(x)
+        # LN folding into the kernels measured slower than XLA's standalone
+        # LN (lane-padded fp32 in-kernel LN + smaller tiles outweigh the
+        # saved pass) — disabled; the kernels keep the capability (tested)
+        # for future packed layouts.
+        defer_ln1 = False and fused and self.token_projection == "linear" \
+            and not (self.attn_drop > 0.0 and not deterministic)
+        if defer_ln1:
+            ln1 = _LNParams(self.dim, name="norm1")()
+        else:
+            ln1 = None
+            x = _norm("norm1", self.dtype)(x)
         x = cyclic_shift(x, shift)
         x_windows = window_partition(x, win)  # (B*nW, N, C)
 
@@ -554,7 +598,7 @@ class LeWinBlock(nn.Module):
             proj_drop=self.drop, backend=self.attn_backend, dtype=self.dtype,
             name="attn",
         )(x_windows, mask=attn_mask, deterministic=deterministic,
-          geometry=geometry, modulator=mod)
+          geometry=geometry, modulator=mod, ln_params=ln1)
 
         x = window_reverse(attn_out, win, H, W)
         x = cyclic_unshift(x, shift)
@@ -562,17 +606,28 @@ class LeWinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic=deterministic)
 
-        y = _norm("norm2", self.dtype)(x)
+        # LN2 fold measured slower than XLA's standalone LN (the in-kernel
+        # lane-padded fp32 LN + smaller tiles outweigh the saved pass) —
+        # disabled; kept available in the kernels for future layouts.
+        defer_ln2 = False and fused and self.token_mlp in ("leff", "fastleff") \
+            and (self.drop == 0.0 or deterministic)
+        if defer_ln2:
+            ln2 = _LNParams(self.dim, name="norm2")()
+            y = x
+        else:
+            ln2 = None
+            y = _norm("norm2", self.dtype)(x)
         if self.token_mlp in ("ffn", "mlp"):
             y = Mlp(hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
                     dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
         elif self.token_mlp == "leff":
             y = LeFF(hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
-                     dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
+                     dtype=self.dtype, name="mlp")(
+                         y, deterministic=deterministic, ln_params=ln2)
         elif self.token_mlp == "fastleff":
             y = LeFF(hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
                      dw_backend="pallas", dtype=self.dtype, name="mlp")(
-                         y, deterministic=deterministic)
+                         y, deterministic=deterministic, ln_params=ln2)
         else:
             raise ValueError(f"unknown token_mlp {self.token_mlp}")
         x = x + DropPath(self.drop_path, name="drop_path2")(

@@ -38,16 +38,27 @@ def _region_ids(win, shift, size, w_idx, in_win):
             + (g >= size - shift).astype(jnp.int32))
 
 
-def _make_kernel(T, N, C, nH, D, win, shift, H, W, scale, has_mod, out_dtype):
+def _make_kernel(T, N, C, nH, D, win, shift, H, W, scale, has_mod, has_ln,
+                 out_dtype):
     nW_w = W // win
     nW = (H // win) * nW_w
 
-    def kernel(x_ref, mod_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-               bv_ref, wo_ref, bo_ref, bias_ref, o_ref):
+    def kernel(x_ref, mod_ref, ln_s_ref, ln_b_ref, wq_ref, bq_ref, wk_ref,
+               bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, bias_ref, o_ref):
         xt = x_ref[0]  # (T, N, C) -> tokens (T*N, C)
-        if has_mod:
-            xt = xt + mod_ref[:][None].astype(xt.dtype)
         tok = xt.reshape(T * N, C)
+        if has_ln:
+            # LayerNorm folded in (eps matches torch); LN is per-token so
+            # it commutes with the roll/partition done outside
+            tf = tok.astype(jnp.float32)
+            mu = tf.mean(-1, keepdims=True)
+            var = tf.var(-1, keepdims=True)
+            tf = (tf - mu) * jax.lax.rsqrt(var + 1e-5)
+            tok = (tf * ln_s_ref[:].astype(jnp.float32)
+                   + ln_b_ref[:].astype(jnp.float32)).astype(xt.dtype)
+        if has_mod:
+            tok = (tok.reshape(T, N, C)
+                   + mod_ref[:][None].astype(tok.dtype)).reshape(T * N, C)
         prec = (jax.lax.Precision.HIGHEST
                 if tok.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
@@ -113,14 +124,22 @@ def _pick_tile(Bw, C, itemsize, budget=None):
     return t
 
 
-def attention_block_reference(x, mod, wq, bq, wkv, bkv, wo, bo, bias, *,
-                              win, shift, H, W, scale, num_heads):
+def attention_block_reference(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
+                              bias, *, win, shift, H, W, scale, num_heads,
+                              has_ln=True):
     """jnp reference of the fused block (tests + backward pass)."""
     from uformer_tpu.ops.attention import _window_attention_jnp
     from uformer_tpu.ops.masks import shift_window_mask
 
     Bw, N, C = x.shape
     D = C // num_heads
+    if has_ln:
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        x = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+             * ln_s.astype(jnp.float32)
+             + ln_b.astype(jnp.float32)).astype(x.dtype)
     xm = x + mod[None].astype(x.dtype)
     q = (xm @ wq.astype(x.dtype)) + bq.astype(x.dtype)
     kv = (xm @ wkv.astype(x.dtype)) + bkv.astype(x.dtype)
@@ -134,44 +153,51 @@ def attention_block_reference(x, mod, wq, bq, wkv, bkv, wo, bo, bias, *,
 
 
 @functools.lru_cache(maxsize=None)
-def _ad_factory(win, shift, H, W, scale, num_heads, interpret):
+def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret):
     """custom_vjp wrapper per static geometry: Pallas forward,
     reference-jnp VJP backward (rematerialized)."""
     kw = dict(win=win, shift=shift, H=H, W=W, scale=scale,
               num_heads=num_heads)
 
     @jax.custom_vjp
-    def f(x, mod, wq, bq, wkv, bkv, wo, bo, bias):
-        return fused_attention_block(x, mod, wq, bq, wkv, bkv, wo, bo,
-                                     bias, interpret=interpret, **kw)
+    def f(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias):
+        return fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv,
+                                     wo, bo, bias, has_ln=has_ln,
+                                     interpret=interpret, **kw)
 
     def fwd(*args):
         return f(*args), args
 
     def bwd(res, g):
         _, vjp = jax.vjp(
-            lambda *a: attention_block_reference(*a, **kw), *res)
+            lambda *a: attention_block_reference(*a, has_ln=has_ln, **kw),
+            *res)
         return vjp(g)
 
     f.defvjp(fwd, bwd)
     return f
 
 
-def fused_attention_block_ad(x, mod, wq, bq, wkv, bkv, wo, bo, bias, *,
-                             win, shift, H, W, scale, num_heads,
-                             interpret=False):
-    f = _ad_factory(win, shift, H, W, float(scale), num_heads, interpret)
+def fused_attention_block_ad(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
+                             bias, *, win, shift, H, W, scale, num_heads,
+                             has_ln=True, interpret=False):
+    f = _ad_factory(win, shift, H, W, float(scale), num_heads, has_ln,
+                    interpret)
     if mod is None:
         mod = jnp.zeros(x.shape[1:], x.dtype)
-    return f(x, mod, wq, bq, wkv, bkv, wo, bo, bias)
+    if ln_s is None:
+        ln_s = jnp.ones((x.shape[-1],), jnp.float32)
+        ln_b = jnp.zeros((x.shape[-1],), jnp.float32)
+    return f(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "win", "shift", "H", "W", "scale", "num_heads", "interpret"))
-def fused_attention_block(x, mod, wq, bq, wkv, bkv, wo, bo, bias, *,
-                          win, shift, H, W, scale, num_heads,
-                          interpret=False):
-    """x: (Bw, N, C); wq: (C, C); wkv: (C, 2C); returns (Bw, N, C)."""
+    "win", "shift", "H", "W", "scale", "num_heads", "has_ln", "interpret"))
+def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
+                          bias, *, win, shift, H, W, scale, num_heads,
+                          has_ln=True, interpret=False):
+    """x: (Bw, N, C) pre-LN windows; wq: (C, C); wkv: (C, 2C);
+    returns (Bw, N, C)."""
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
@@ -186,9 +212,12 @@ def fused_attention_block(x, mod, wq, bq, wkv, bkv, wo, bo, bias, *,
 
     T = _pick_tile(Bw, C, x.dtype.itemsize)
     kernel = _make_kernel(T, N, C, nH, D, win, shift, H, W, scale,
-                          mod is not None, x.dtype)
+                          mod is not None, has_ln, x.dtype)
     if mod is None:
         mod = jnp.zeros((N, C), x.dtype)
+    if ln_s is None:
+        ln_s = jnp.ones((C,), jnp.float32)
+        ln_b = jnp.zeros((C,), jnp.float32)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -198,6 +227,7 @@ def fused_attention_block(x, mod, wq, bq, wkv, bkv, wo, bo, bias, *,
             pl.BlockSpec((1, T, N, C), lambda t: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
             vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+            vmem, vmem,
         ],
         out_specs=pl.BlockSpec((1, T, N, C), lambda t: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -208,5 +238,5 @@ def fused_attention_block(x, mod, wq, bq, wkv, bkv, wo, bo, bias, *,
             bytes_accessed=2 * Bw * N * C * x.dtype.itemsize,
             transcendentals=Bw * nH * N * N,
         ),
-    )(x[None], mod, wq_h, bq_h, wk, bk, wv, bv, wo_h, bo,
+    )(x[None], mod, ln_s, ln_b, wq_h, bq_h, wk, bk, wv, bv, wo_h, bo,
       bias.astype(jnp.float32))[0]

@@ -76,14 +76,24 @@ def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
     return tiles.reshape(xp.shape[0], nT, Th + 2, *xp.shape[2:])
 
 
-def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, out_dtype):
-    def kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, o_ref):
+def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
+                 out_dtype):
+    def kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
+               w2_ref, b2_ref, o_ref):
         t = pl.program_id(1)
         xt = x_ref[0, 0]  # (Th+2, W+2, C)
         prec = (jax.lax.Precision.HIGHEST
                 if xt.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        tok = xt.reshape((Th + 2) * (W + 2), C)
+        if has_ln:
+            tf = tok.astype(jnp.float32)
+            mu = tf.mean(-1, keepdims=True)
+            var = tf.var(-1, keepdims=True)
+            tf = (tf - mu) * jax.lax.rsqrt(var + 1e-5)
+            tok = (tf * ln_s_ref[:].astype(jnp.float32)
+                   + ln_b_ref[:].astype(jnp.float32)).astype(xt.dtype)
         hid = jax.lax.dot_general(
-            xt.reshape((Th + 2) * (W + 2), C), w1_ref[:],
+            tok, w1_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
@@ -119,12 +129,14 @@ def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, out_dtype):
 
 
 def _pick_th(H: int, W: int, Ch: int, itemsize: int,
-             budget: int | None = None) -> int:
+             budget: int | None = None, C: int = 0) -> int:
     """Tile height: the hidden tile (Th+2, W+2, Ch) dominates VMEM; keep it
-    (plus the fp32 conv accumulator) under ~5MB."""
+    (plus the fp32 conv accumulator and the folded-LN fp32 token copy,
+    both lane-padded to 128) under budget."""
     if budget is None:  # fp32 tiles are 2x + HIGHEST-precision scratch
         budget = (10 if itemsize <= 2 else 4) * 2**20
     per_row = (W + 2) * max(Ch, 128) * (itemsize + 4)  # bf16 hid + f32 acc
+    per_row += (W + 2) * max(C, 128) * (4 + 2 * itemsize)  # LN f32 + x io
     th = max(budget // max(per_row, 1) - 2, 1)
     th = min(th, H)
     while H % th:
@@ -132,14 +144,21 @@ def _pick_th(H: int, W: int, Ch: int, itemsize: int,
     return th
 
 
-def leff_reference(x, w1, b1, wd, bd, w2, b2):
+def leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None):
     """jnp reference of the fused pipeline (for CPU, tests, and the
-    backward pass)."""
+    backward pass). Optional folded pre-LayerNorm."""
     from uformer_tpu.ops.dwconv import _depthwise_conv2d_jnp
 
     def g(v):
         return jax.nn.gelu(v, approximate=False)
 
+    if ln_s is not None:
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        x = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+             * ln_s.astype(jnp.float32)
+             + ln_b.astype(jnp.float32)).astype(x.dtype)
     y = (x @ w1.astype(x.dtype)) + b1.astype(x.dtype)
     y = g(y)
     y = _depthwise_conv2d_jnp(y, wd, bd)
@@ -147,36 +166,58 @@ def leff_reference(x, w1, b1, wd, bd, w2, b2):
     return (y @ w2.astype(x.dtype)) + b2.astype(x.dtype)
 
 
-@jax.custom_vjp
-def fused_leff_ad(x, w1, b1, wd, bd, w2, b2):
-    """Differentiable wrapper: Pallas forward, reference-jnp VJP backward.
-    The backward recomputes the hidden activations (rematerialization —
-    the same memory policy the reference reaches for with
+@functools.lru_cache(maxsize=2)
+def _leff_ad_factory(has_ln: bool):
+    """custom_vjp wrapper: Pallas forward, reference-jnp VJP backward
+    (rematerialized — the memory policy the reference reaches for with
     torch.utils.checkpoint, model.py:1056)."""
-    return fused_leff(x, w1, b1, wd, bd, w2, b2)
+
+    @jax.custom_vjp
+    def f(x, w1, b1, wd, bd, w2, b2, ln_s, ln_b):
+        return fused_leff(x, w1, b1, wd, bd, w2, b2,
+                          ln_s=ln_s if has_ln else None,
+                          ln_b=ln_b if has_ln else None)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        def ref(*a):
+            return leff_reference(
+                *a[:7], ln_s=a[7] if has_ln else None,
+                ln_b=a[8] if has_ln else None)
+
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-def _fused_leff_fwd(x, w1, b1, wd, bd, w2, b2):
-    return fused_leff(x, w1, b1, wd, bd, w2, b2), (x, w1, b1, wd, bd, w2, b2)
-
-
-def _fused_leff_bwd(res, g):
-    _, vjp = jax.vjp(leff_reference, *res)
-    return vjp(g)
-
-
-fused_leff_ad.defvjp(_fused_leff_fwd, _fused_leff_bwd)
+def fused_leff_ad(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None):
+    has_ln = ln_s is not None
+    if ln_s is None:
+        C = x.shape[-1]
+        ln_s = jnp.ones((C,), jnp.float32)
+        ln_b = jnp.zeros((C,), jnp.float32)
+    return _leff_ad_factory(has_ln)(x, w1, b1, wd, bd, w2, b2, ln_s, ln_b)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_leff(x, w1, b1, wd, bd, w2, b2, *, interpret: bool = False):
-    """x: (B, H, W, C); returns (B, H, W, C). SAME-padded 3x3 depthwise."""
+def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
+               interpret: bool = False):
+    """x: (B, H, W, C); returns (B, H, W, C). SAME-padded 3x3 depthwise.
+    Optional ln_s/ln_b fold a preceding per-token LayerNorm in."""
     B, H, W, C = x.shape
     Ch = w1.shape[1]
+    has_ln = ln_s is not None
+    if ln_s is None:
+        ln_s = jnp.ones((C,), jnp.float32)
+        ln_b = jnp.zeros((C,), jnp.float32)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    Th = _pick_th(H, W, Ch, x.dtype.itemsize)
+    Th = _pick_th(H, W, Ch, x.dtype.itemsize, C=C)
     x_ov = overlapped_tiles(xp, Th)  # (B, nT, Th+2, W+2, C)
-    kernel = _make_kernel(Th, H, W, C, Ch, x.dtype)
+    kernel = _make_kernel(Th, H, W, C, Ch, has_ln, x.dtype)
 
     nT = H // Th
     return pl.pallas_call(
@@ -186,6 +227,8 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, *, interpret: bool = False):
             pl.BlockSpec((1, 1, Th + 2, W + 2, C),
                          lambda b, t: (b, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wd
@@ -202,4 +245,4 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, *, interpret: bool = False):
             bytes_accessed=3 * B * H * W * C * x.dtype.itemsize,
             transcendentals=2 * B * H * W * Ch,
         ),
-    )(x_ov, w1, b1, wd, bd, w2, b2)
+    )(x_ov, ln_s, ln_b, w1, b1, wd, bd, w2, b2)
