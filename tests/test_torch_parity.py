@@ -135,3 +135,29 @@ def test_parity_dataparallel_prefix_stripped(tmp_path):
     yj = jm.apply(jax.tree_util.tree_map(jnp.asarray, params),
                   jnp.asarray(x.transpose(0, 2, 3, 1)))
     assert _max_diff(yt, np.asarray(yj).transpose(0, 3, 1, 2)) < TOL
+
+
+def test_parity_input_mask_path():
+    """The user-input-mask branch (F.interpolate nearest + outer-product
+    bias, reference model.py:913-919) vs torch, B=1 (the reference only
+    supports batch-1 masks)."""
+    import torch
+
+    kw = dict(img_size=64, embed_dim=8, depths=[1] * 9,
+              num_heads=[1, 2, 4, 8, 8, 8, 4, 2, 1], win_size=8,
+              token_projection="linear", token_mlp="leff",
+              modulator=True, shift_flag=False)
+    tm = build_reference_uformer(**kw)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    mask = np.zeros((1, 1, 64, 64), np.float32)
+    mask[:, :, :, 48:] = 1.0
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x), mask=torch.from_numpy(mask)).numpy()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, convert_uformer(sd))
+    jm = Uformer(img_size=64, embed_dim=8, depths=(1,) * 9,
+                 num_heads=(1, 2, 4, 8, 8, 8, 4, 2, 1), win_size=8,
+                 modulator=True, shift_flag=False, attn_backend="jnp")
+    yj = np.asarray(jm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                             mask=jnp.asarray(mask))).transpose(0, 3, 1, 2)
+    assert _max_diff(yt, yj) < TOL

@@ -118,7 +118,7 @@ def _pick_tile(Bw, C, itemsize, budget=None):
     # dominant: x tile (T,64,C) in/out double-buffered + fp32 out accum
     # (T*64, C) + fp32 logits/probs (T,64,128-padded)
     per_win = 64 * max(C, 128) * (2 * itemsize + 4) + 64 * 128 * 4 * 2
-    t = max(min(budget // per_win, 64), 1)
+    t = max(min(budget // per_win, 256), 1)
     while Bw % t:
         t -= 1
     return t
