@@ -59,11 +59,13 @@ def _erf_poly(z):
     return jnp.clip(z * p, -1.0, 1.0)
 
 
-def _gelu(x):
-    """erf-form GELU matching torch nn.GELU: exact-poly (~1e-7) for fp32,
-    cheap odd-poly (< 1 ulp) for bf16."""
+def _gelu(x, cheap: bool = False):
+    """erf-form GELU matching torch nn.GELU: exact rational poly (~1e-7)
+    by default, cheap odd-poly (< 1 bf16 ulp) when `cheap` (bf16 kernels —
+    dispatching on x.dtype is wrong there because fp32 accumulators flow
+    in even on the bf16 path)."""
     xf = x.astype(jnp.float32)
-    erf_fn = _erf if x.dtype == jnp.float32 else _erf_poly
+    erf_fn = _erf_poly if cheap else _erf
     return (0.5 * xf * (1.0 + erf_fn(xf * (2.0 ** -0.5)))).astype(x.dtype)
 
 
@@ -78,6 +80,8 @@ def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
 
 def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
                  out_dtype):
+    cheap = out_dtype == jnp.bfloat16
+
     def kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
                w2_ref, b2_ref, o_ref):
         t = pl.program_id(1)
@@ -97,7 +101,7 @@ def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
-        hid = _gelu(hid + b1_ref[:].astype(jnp.float32))
+        hid = _gelu(hid + b1_ref[:].astype(jnp.float32), cheap=cheap)
         hid = hid.reshape(Th + 2, W + 2, Ch)
         # zero the conv padding ring: the reference zero-pads *after*
         # linear1+GELU, where gelu(b1) != 0 would otherwise leak in.
@@ -115,7 +119,7 @@ def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
                 tap = hid[dy:dy + Th, dx:dx + W, :]
                 acc += tap.astype(jnp.float32) * \
                     wd_ref[dy, dx, :].astype(jnp.float32)
-        acc = _gelu(acc + bd_ref[:].astype(jnp.float32))
+        acc = _gelu(acc + bd_ref[:].astype(jnp.float32), cheap=cheap)
 
         out = jax.lax.dot_general(
             acc.astype(xt.dtype).reshape(Th * W, Ch), w2_ref[:],
