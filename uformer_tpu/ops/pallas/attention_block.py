@@ -114,7 +114,7 @@ def _make_kernel(T, N, C, nH, D, win, shift, H, W, scale, has_mod, has_ln,
 
 def _pick_tile(Bw, C, itemsize, budget=None):
     if budget is None:
-        budget = (8 if itemsize <= 2 else 4) * 2**20
+        budget = (6 if itemsize <= 2 else 4) * 2**20
     # dominant: x tile (T,64,C) in/out double-buffered + fp32 out accum
     # (T*64, C) + fp32 logits/probs (T,64,128-padded)
     per_win = 64 * max(C, 128) * (2 * itemsize + 4) + 64 * 128 * 4 * 2

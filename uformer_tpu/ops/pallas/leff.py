@@ -70,7 +70,7 @@ def _gelu(x, cheap: bool = False):
 
 
 def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
-    """(B, H+2, W+2, C) -> (B, nT, Th+2, W+2, C) with 2-row overlap."""
+    """(B, Hp+2, W+2, C) -> (B, nT, Th+2, W+2, C) with 2-row overlap."""
     H = xp.shape[1] - 2
     nT = H // Th
     idx = (jnp.arange(nT)[:, None] * Th + jnp.arange(Th + 2)[None]).reshape(-1)
@@ -143,9 +143,12 @@ def _pick_th(H: int, W: int, Ch: int, itemsize: int,
     per_row += (W + 2) * max(C, 128) * (4 + 2 * itemsize)  # LN f32 + x io
     th = max(budget // max(per_row, 1) - 2, 1)
     th = min(th, H)
-    while H % th:
-        th -= 1
-    return th
+    # prefer a divisor of H (no pad-and-crop copy) unless it costs >25%
+    # of the tile height; otherwise pad H to a Th multiple in the caller
+    d = th
+    while H % d:
+        d -= 1
+    return d if d >= (3 * th) // 4 else th
 
 
 def leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None):
@@ -218,13 +221,17 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
     if ln_s is None:
         ln_s = jnp.ones((C,), jnp.float32)
         ln_b = jnp.zeros((C,), jnp.float32)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     Th = _pick_th(H, W, Ch, x.dtype.itemsize, C=C)
+    # pad H to a Th multiple (tail rows produce junk that we crop) instead
+    # of shrinking Th to a divisor of H — a smaller Th inflates the halo
+    # and grid-step overhead (e.g. 256 rows: Th 13 -> divisor 8 is +25% DMA)
+    nT = -(-H // Th)
+    Hp = nT * Th
+    xp = jnp.pad(x, ((0, 0), (1, 1 + Hp - H), (1, 1), (0, 0)))
     x_ov = overlapped_tiles(xp, Th)  # (B, nT, Th+2, W+2, C)
     kernel = _make_kernel(Th, H, W, C, Ch, has_ln, x.dtype)
 
-    nT = H // Th
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B, nT),
         in_specs=[
@@ -242,7 +249,7 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
         ],
         out_specs=pl.BlockSpec((1, Th, W, C), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, C), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * Ch * (2 * C + 9),
@@ -250,3 +257,4 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
             transcendentals=2 * B * H * W * Ch,
         ),
     )(x_ov, ln_s, ln_b, w1, b1, wd, bd, w2, b2)
+    return out[:, :H] if Hp != H else out
