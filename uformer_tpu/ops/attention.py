@@ -19,15 +19,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Populated by `uformer_tpu.ops.pallas` on import; holds the fused TPU kernel.
-_PALLAS_ATTENTION = None
-
-
-def register_pallas_attention(fn) -> None:
-    global _PALLAS_ATTENTION
-    _PALLAS_ATTENTION = fn
-
-
 def resolve_backend(backend: str = "auto") -> str:
     """Resolve 'auto' to 'pallas' on TPU else 'jnp'.
 
@@ -58,16 +49,16 @@ def window_attention(
       mask: optional additive mask, shape (nW, N, N) with Bw % nW == 0
         (tiled over batch, reference model.py:508-513) or (Bw, N, N).
       scale: q scaling (head_dim ** -0.5 unless qk_scale overrides).
-      backend: 'auto' | 'jnp' | 'pallas'.
+      backend: accepted for API symmetry; this functional op always runs
+        the jnp form. The fused TPU kernels need static window geometry
+        and projection weights — use the model layers (auto-fused) or
+        `uformer_tpu.ops.pallas.{fused_window_attention,
+        fused_attention_block}` directly.
 
     Returns:
       (Bw, N, nH*D) merged-head output, same dtype as q.
     """
-    backend = resolve_backend(backend)
-    if backend == "pallas":
-        if _PALLAS_ATTENTION is None:
-            raise RuntimeError("pallas attention kernel not registered")
-        return _PALLAS_ATTENTION(q, k, v, bias, mask, scale=scale)
+    del backend
     return _window_attention_jnp(q, k, v, bias, mask, scale=scale)
 
 
