@@ -161,3 +161,27 @@ def test_parity_input_mask_path():
     yj = np.asarray(jm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
                              mask=jnp.asarray(mask))).transpose(0, 3, 1, 2)
     assert _max_diff(yt, yj) < TOL
+
+
+def test_export_roundtrip():
+    """JAX -> torch .pth exporter inverts the converter exactly, and the
+    exported checkpoint loads into the torch reference model."""
+    import torch
+
+    kw = dict(img_size=64, embed_dim=8, depths=[1] * 9,
+              num_heads=[1, 2, 4, 8, 8, 8, 4, 2, 1], win_size=8,
+              token_projection="linear", token_mlp="leff",
+              modulator=True, shift_flag=True)
+    tm = build_reference_uformer(**kw)
+    sd0 = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_uformer(sd0)
+
+    from uformer_tpu.convert.torch_exporter import export_uformer
+
+    sd1 = export_uformer(params)
+    assert set(sd1) == set(sd0), (set(sd0) - set(sd1), set(sd1) - set(sd0))
+    for k in sd0:
+        np.testing.assert_array_equal(sd1[k], sd0[k], err_msg=k)
+    # exported state_dict loads strictly into the torch reference
+    tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in sd1.items()}, strict=True)
