@@ -129,3 +129,36 @@ def test_cross_modulator_variant():
     params = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(params, x)
     assert y.shape == x.shape
+
+
+def test_dropout_branches_train_mode():
+    """drop_rate/attn_drop > 0 exercise the unfused dropout paths (the
+    reference's default archs use 0.0; the flags still must work)."""
+    model = tiny_uformer(drop_rate=0.1, attn_drop_rate=0.1,
+                         drop_path_rate=0.1)
+    x = jnp.ones((2, 32, 32, 3)) * 0.4
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x)
+    y = model.apply(params, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(y)).all()
+    # eval mode is deterministic regardless of the rates
+    y1 = model.apply(params, x)
+    y2 = model.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_gradients_through_dropout_branches():
+    model = tiny_uformer(drop_rate=0.1, attn_drop_rate=0.1)
+    x = jnp.ones((1, 32, 32, 3)) * 0.3
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(p):
+        y = model.apply(p, x, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
