@@ -75,3 +75,21 @@ def test_model_complexity_report():
                 attn_backend="jnp")
     info = model_complexity(m, (1, 32, 32, 3))
     assert info["params_m"] > 0.1 and info["gflops"] > 0.01
+
+
+def test_blurpool():
+    from uformer_tpu.models.extras import BlurPool1D, BlurPool2D
+
+    x = _x((2, 8, 8, 4))
+    m = BlurPool2D()
+    y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (2, 4, 4, 4)
+    # constant input is preserved by the normalized binomial filter
+    c = jnp.full((1, 8, 8, 4), 0.7)
+    yc = m.apply(m.init(jax.random.PRNGKey(0), c), c)
+    np.testing.assert_allclose(np.asarray(yc), 0.7, rtol=1e-6)
+
+    x1 = _x((2, 16, 4))
+    m1 = BlurPool1D()
+    y1 = m1.apply(m1.init(jax.random.PRNGKey(0), x1), x1)
+    assert y1.shape == (2, 8, 4)

@@ -104,3 +104,60 @@ class EcaLayer(nn.Module):
         from uformer_tpu.models.layers import Eca1d
 
         return Eca1d(k_size=self.k_size, name="eca")(x)
+
+
+class BlurPool2D(nn.Module):
+    """Anti-aliased strided downsampling (BlurPool; reference
+    `utils/antialias.py:7-58` — dead code upstream, provided for inventory
+    parity): depthwise binomial low-pass filter then stride-`stride`
+    subsampling, reflect-padded. NHWC."""
+
+    filt_size: int = 3
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        from scipy.special import comb
+
+        n = self.filt_size
+        a = jnp.asarray([float(comb(n - 1, k)) for k in range(n)])
+        filt2d = (a[:, None] * a[None, :])
+        filt2d = (filt2d / filt2d.sum()).astype(x.dtype)
+        C = x.shape[-1]
+        pad_lo = (n - 1) // 2
+        pad_hi = -(-(n - 1) // 2)
+        if n == 1:
+            return x[:, ::self.stride, ::self.stride]
+        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)),
+                     mode="reflect")
+        kernel = jnp.tile(filt2d[:, :, None, None], (1, 1, 1, C))
+        return jax.lax.conv_general_dilated(
+            xp, kernel, (self.stride, self.stride), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+
+
+class BlurPool1D(nn.Module):
+    """1-D variant (reference antialias.py:60-113) over (B, L, C)."""
+
+    filt_size: int = 3
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        from scipy.special import comb
+
+        n = self.filt_size
+        a = jnp.asarray([float(comb(n - 1, k)) for k in range(n)])
+        filt = (a / a.sum()).astype(x.dtype)
+        C = x.shape[-1]
+        if n == 1:
+            return x[:, ::self.stride]
+        pad_lo = (n - 1) // 2
+        pad_hi = -(-(n - 1) // 2)
+        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)), mode="reflect")
+        kernel = jnp.tile(filt[:, None, None], (1, 1, C))
+        return jax.lax.conv_general_dilated(
+            xp, kernel, (self.stride,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=C)
