@@ -170,7 +170,9 @@ def run_lewin_block_spatially_sharded(params, img, mesh: Mesh, *, win: int,
 
     H, W, C = img.shape
     n = mesh.shape["data"]
-    assert H % (n * win) == 0, (H, n, win)
+    assert H % (n * win) == 0, (
+        f"H={H} must be divisible by n_shards*win = {n}*{win} = {n * win} "
+        f"so each shard holds whole window rows")
 
     fn = functools.partial(lewin_block_sharded, H=H, W=W, win=win,
                            shift=shift, num_heads=num_heads,
