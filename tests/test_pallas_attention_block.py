@@ -77,3 +77,31 @@ def test_model_fused_block_matches_jnp_backend():
     y2 = m_pal.apply(params, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("reason", ["conv_proj", "attn_dropout"])
+def test_unfused_fallback_keeps_shift_mask(reason):
+    """Regression: when the block requests the fused path (backend=pallas)
+    but WindowAttention declines it (conv projection / active attention
+    dropout), the SW-MSA shift mask must still be applied — shifted
+    windows must not attend across window boundaries."""
+    from uformer_tpu.models.layers import LeWinBlock
+
+    kw = dict(dim=16, num_heads=2, win_size=8, shift_size=4)
+    if reason == "conv_proj":
+        kw["token_projection"] = "conv"
+        det = True
+    else:
+        kw["attn_drop"] = 0.5
+        det = False
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 16, 16, 16))
+        .astype(np.float32))
+    b_jnp = LeWinBlock(attn_backend="jnp", **kw)
+    b_pal = LeWinBlock(attn_backend="pallas", **kw)
+    params = b_jnp.init(jax.random.PRNGKey(0), x)
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    y1 = b_jnp.apply(params, x, deterministic=det, rngs=rngs)
+    y2 = b_pal.apply(params, x, deterministic=det, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=1e-5, rtol=1e-5)

@@ -401,6 +401,15 @@ class WindowAttention(nn.Module):
             return nn.Dropout(self.proj_drop)(out,
                                               deterministic=deterministic)
 
+        if geometry is not None and mask is None:
+            # Defensive: the caller deferred the SW-MSA shift mask to the
+            # fused kernel but we declined the fused path — rebuild the
+            # mask from geometry so shifted windows never silently attend
+            # across window boundaries.
+            _, _, g_shift = geometry
+            if g_shift > 0:
+                gH, gW, _ = geometry
+                mask = jnp.asarray(shift_window_mask(gH, gW, wh, g_shift))
         if ln_params is not None:
             # block-level LN was deferred to us but the fused path wasn't
             # taken — apply it here
@@ -530,8 +539,14 @@ class LeWinBlock(nn.Module):
 
         from uformer_tpu.ops.attention import resolve_backend
 
+        # Mirror WindowAttention.fused_block_ok exactly: if the attention
+        # layer would decline the fused kernel (conv projection, active
+        # attention dropout), the shift mask must be built HERE — the
+        # unfused path cannot compute it inline.
         fused = (resolve_backend(self.attn_backend) == "pallas"
-                 and mask is None)
+                 and mask is None
+                 and self.token_projection == "linear"
+                 and not (self.attn_drop > 0.0 and not deterministic))
 
         # --- attention mask (static for given geometry; the fused kernel
         # computes the shift mask inline instead) ---
