@@ -17,7 +17,7 @@ def main():
     from uformer_tpu.eval.dnd import run_dnd_eval
 
     n = run_dnd_eval(fn, args.input_dir, args.result_dir,
-                     save_images=args.save_images or True)
+                     save_images=args.save_images)
     print(f"restored {n} crops; bundled under {args.result_dir}/matfile/bundled")
 
 

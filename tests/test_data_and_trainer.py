@@ -134,3 +134,77 @@ def test_trainer_end_to_end(tmp_path, paired_dir):
     tr2 = Trainer(opt2)
     state2, _ = tr2.fit(train_dataset=ds, val_dataset=vs)
     assert int(state2.step) > int(state.step) - 100  # continued
+
+
+def test_resume_restores_step_mixup_and_lr(tmp_path, paired_dir):
+    """Resume must restore TrainState.step so the mixup gate (epoch>5,
+    reference train_denoise.py:178-179) stays enabled and the logged LR
+    matches the schedule at the true position."""
+    import jax
+    import jax.numpy as jnp
+    from uformer_tpu.config import Options
+    from uformer_tpu.train.checkpoints import save_checkpoint
+    from uformer_tpu.train.train_step import make_train_step
+    from uformer_tpu.train.trainer import Trainer
+
+    opt = Options(arch="Uformer", embed_dim=8, win_size=2, train_ps=32,
+                  batch_size=2, nepoch=10, workers=0, warmup=True,
+                  warmup_epochs=1, mode="denoising",
+                  save_dir=str(tmp_path / "logs"), dtype="float32",
+                  attn_backend="jnp", pretrain_weights="")
+    tr = Trainer(opt)
+    spe = 4
+    tr.build(steps_per_epoch=spe)
+    state = tr.init_state(resume=False)
+    step_saved = 6 * spe  # end of epoch 6 — past the mixup gate
+    save_checkpoint(tr.model_dir, "model_latest", 6, state.params,
+                    state.opt_state, step=step_saved)
+
+    state2 = tr.init_state(resume=True)
+    assert int(state2.step) == step_saved
+    assert tr.start_epoch == 7
+    # logged LR uses sched(step-1): must be the true schedule position,
+    # not the reset-to-0 value
+    assert float(tr.sched(int(state2.step) - 1)) == float(
+        tr.sched(step_saved - 1))
+    assert float(tr.sched(step_saved - 1)) != float(tr.sched(-1))
+
+    # mixup gate: at the restored step, epoch=7>5 so the mixup branch of
+    # the train step must actually fire (loss differs from a no-mixup step
+    # with the same rng)
+    rng = np.random.default_rng(1)
+    batch = {
+        "input": jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32),
+        "target": jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32),
+    }
+    step_mix = make_train_step(tr.model, mixup_after_epoch=5,
+                               steps_per_epoch=spe)
+    step_plain = make_train_step(tr.model, mixup_after_epoch=None,
+                                 steps_per_epoch=spe)
+    key = jax.random.PRNGKey(0)
+    _, loss_mix = step_mix(state2, batch, key)
+    _, loss_plain = step_plain(state2, batch, key)
+    assert abs(float(loss_mix) - float(loss_plain)) > 1e-6
+
+
+def test_validate_pads_arbitrary_image_sizes(tmp_path, paired_dir):
+    """Trainer.validate must accept val images that are not a multiple of
+    win_size*16 (pads then unpads, like the reference test scripts)."""
+    import jax.numpy as jnp
+    from uformer_tpu.config import Options
+    from uformer_tpu.train.trainer import Trainer
+
+    opt = Options(arch="Uformer", embed_dim=8, win_size=2, train_ps=32,
+                  batch_size=2, nepoch=1, workers=0,
+                  save_dir=str(tmp_path / "logs"), dtype="float32",
+                  attn_backend="jnp", pretrain_weights="")
+    tr = Trainer(opt)
+    tr.build(steps_per_epoch=1)
+    state = tr.init_state(resume=False)
+    rng = np.random.default_rng(2)
+    # 40x56 is not a multiple of win_size*16 = 32
+    gt = rng.uniform(0, 1, (1, 40, 56, 3)).astype(np.float32)
+    batches = [{"input": jnp.asarray(np.clip(gt + 0.05, 0, 1)),
+                "target": jnp.asarray(gt)}]
+    psnr = tr.validate(state, batches)
+    assert np.isfinite(psnr) and psnr > 0

@@ -226,3 +226,39 @@ def test_ssim_gaussian_map_full_and_mean():
     mean, smap = ssim_gaussian_map(noisy, gt)
     assert smap.shape == (64, 64, 3)
     assert 0 < mean < 1
+
+
+def test_run_gopro_eval_reference_ssim_protocol(tmp_path):
+    """run_gopro_eval must reproduce the reference script's SSIM numbers:
+    legacy skimage structural_similarity on float input uses
+    data_range = dtype range = 2.0 (test_gopro_hide.py:106), NOT 1.0."""
+    import cv2
+    from uformer_tpu.eval.gopro_hide import run_gopro_eval
+
+    gt_dir = tmp_path / "groundtruth"
+    in_dir = tmp_path / "input"
+    gt_dir.mkdir()
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0, 1, (40, 48, 3))
+    noisy = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1)
+    for d, img in ((gt_dir, gt), (in_dir, noisy)):
+        cv2.imwrite(str(d / "0.png"), cv2.cvtColor(
+            np.uint8(img * 255), cv2.COLOR_RGB2BGR))
+
+    identity = lambda x: np.asarray(x)  # noqa: E731
+    res = tmp_path / "results"
+    _, ms = run_gopro_eval(identity, str(tmp_path), str(res),
+                           save_images=False, factor=8)
+    # independently recompute with the reference data_range
+    from uformer_tpu.eval.image_io import load_img
+    g = load_img(str(gt_dir / "0.png"))
+    n = load_img(str(in_dir / "0.png"))
+    want = ssim_uniform(np.clip(n, 0, 1), g, multichannel=True,
+                        data_range=2.0)
+    assert ms == pytest.approx(want, abs=1e-12)
+    # and it must NOT be the data_range=1.0 value
+    wrong = ssim_uniform(np.clip(n, 0, 1), g, multichannel=True,
+                         data_range=1.0)
+    assert abs(ms - wrong) > 1e-4
+    assert os.path.exists(res / "psnr_ssim.txt")

@@ -63,7 +63,7 @@ class Options:
     resume: bool = False
     train_dir: str = "./datasets/SIDD/train"
     val_dir: str = "./datasets/SIDD/val"
-    warmup: bool = True
+    warmup: bool = False  # reference default (options.py:56); recipes pass --warmup
     warmup_epochs: int = 3
 
     # distributed (subsumes options.py:60-62 DDP flags)
@@ -85,7 +85,10 @@ def add_options_to_parser(parser: argparse.ArgumentParser,
         v = getattr(d, f.name)
         name = "--" + f.name
         if f.type == "bool" or isinstance(v, bool):
-            parser.add_argument(name, action="store_true", default=v)
+            # BooleanOptionalAction gives --flag / --no-flag so every bool
+            # is settable both ways from the CLI regardless of its default
+            parser.add_argument(name, action=argparse.BooleanOptionalAction,
+                                default=v)
         elif v is None:
             parser.add_argument(name, type=int, default=None)
         else:

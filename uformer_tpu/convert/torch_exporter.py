@@ -49,6 +49,11 @@ def _leff(sd, prefix, p):
     dw = _np(p["dwconv_kernel"]).transpose(2, 0, 1)[:, None]  # (C,1,3,3)
     sd[f"{prefix}.dwconv.0.weight"] = dw
     sd[f"{prefix}.dwconv.0.bias"] = _np(p["dwconv_bias"])
+    if "eca" in p:
+        # (k, 1, 1) HIO -> torch Conv1d weight (1, 1, k); inverse of
+        # torch_converter._leff
+        sd[f"{prefix}.eca.conv.weight"] = _np(
+            p["eca"]["conv"]).transpose(2, 1, 0)
 
 
 def _mlp(sd, prefix, p):

@@ -41,10 +41,16 @@ def iter_pairs(input_dir: str):
 
 def run_gopro_eval(fn: Callable, input_dir: str, result_dir: str,
                    save_images: bool = True, factor: int = 128,
-                   square_pad: bool = False):
+                   square_pad: bool = False, ssim_data_range: float = 2.0):
     """square_pad=True reproduces the reference's expand2square exactly;
     False (default) pads per-side only (identical outputs on the unpadded
-    region for pad-invariant models, ~2x faster on 16:9 frames)."""
+    region for pad-invariant models, ~2x faster on 16:9 frames).
+
+    ssim_data_range defaults to 2.0: the reference script calls legacy
+    skimage structural_similarity on float input with no data_range
+    (test_gopro_hide.py:106), which uses the dtype range = 2.0 — the
+    default here reproduces the reference-produced numbers exactly. Pass
+    1.0 for the physically-correct [0,1]-image SSIM."""
     os.makedirs(result_dir, exist_ok=True)
     log = os.path.join(result_dir, "psnr_ssim.txt")
     psnrs, ssims, count = [], [], 0
@@ -59,7 +65,8 @@ def run_gopro_eval(fn: Callable, input_dir: str, result_dir: str,
             restored = np.clip(np.asarray(fn(padded)), 0, 1)
             restored = unpad(restored, orig)[0]
         p = skimage_psnr(gt, restored)
-        s = ssim_uniform(restored, gt, multichannel=True)
+        s = ssim_uniform(restored, gt, multichannel=True,
+                         data_range=ssim_data_range)
         psnrs.append(p)
         ssims.append(s)
         count += 1

@@ -217,8 +217,9 @@ def sidd_ssim(pred: np.ndarray, gt: np.ndarray) -> float:
     k = _gaussian_window(11, 1.5)
 
     def filt(x):
+        # MATLAB ssim/imgaussfilt pads with 'replicate' = scipy 'nearest'
         for ax in range(x.ndim):
-            x = correlate1d(x, k, axis=ax, mode="reflect")
+            x = correlate1d(x, k, axis=ax, mode="nearest")
         return x
 
     C1, C2 = (0.01) ** 2, (0.03) ** 2

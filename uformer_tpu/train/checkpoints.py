@@ -23,13 +23,19 @@ def _checkpointer():
 
 
 def save_checkpoint(model_dir: str, name: str, epoch: int, params: Any,
-                    opt_state: Any = None) -> str:
-    """Save {epoch, params, opt_state} under <model_dir>/<name>."""
+                    opt_state: Any = None, step: Optional[int] = None) -> str:
+    """Save {epoch, params, opt_state, step} under <model_dir>/<name>.
+
+    `step` is the optimizer step count; persisting it lets resume continue
+    mixup gating / LR logging from the true position (reference resumes
+    mid-schedule too: train_denoise.py:90-98)."""
     path = os.path.abspath(os.path.join(model_dir, name))
     ckpt = {"epoch": np.int64(epoch),
             "params": jax.device_get(params)}
     if opt_state is not None:
         ckpt["opt_state"] = jax.device_get(opt_state)
+    if step is not None:
+        ckpt["step"] = np.int64(int(step))
     _checkpointer().save(path, ckpt, force=True)
     return path
 

@@ -98,6 +98,7 @@ class Trainer:
             steps_per_epoch=steps_per_epoch))
         self.eval_step = jax.jit(make_eval_step(self.model))
         self.sched = sched
+        self.steps_per_epoch = steps_per_epoch
 
     def init_state(self, resume: bool = False) -> TrainState:
         opt = self.opt
@@ -108,14 +109,26 @@ class Trainer:
             # template recovers optax NamedTuple containers on restore
             p0 = jax.device_get(init_params_fast(self.model, x0))
             template = {"epoch": np.int64(0), "params": p0,
-                        "opt_state": jax.device_get(self.tx.init(p0))}
-            ckpt = load_checkpoint(latest, target=template)
+                        "opt_state": jax.device_get(self.tx.init(p0)),
+                        "step": np.int64(0)}
+            try:
+                ckpt = load_checkpoint(latest, target=template)
+                step = int(ckpt["step"])
+            except Exception:
+                # pre-step-field checkpoint: restore without it and derive
+                # the step count from the epoch
+                del template["step"]
+                ckpt = load_checkpoint(latest, target=template)
+                step = int(ckpt["epoch"]) * self.steps_per_epoch
             start_epoch = int(ckpt["epoch"]) + 1
-            self.log(f"Resume from {latest} at epoch {start_epoch}")
+            self.log(f"Resume from {latest} at epoch {start_epoch} "
+                     f"(step {step})")
             state = TrainState.create(
                 replicate(self.mesh, ckpt["params"]), self.tx)
-            state = state.replace(opt_state=jax.tree_util.tree_map(
-                jnp.asarray, ckpt["opt_state"]))
+            state = state.replace(
+                step=jnp.asarray(step, jnp.int32),
+                opt_state=jax.tree_util.tree_map(
+                    jnp.asarray, ckpt["opt_state"]))
         elif opt.pretrain_weights and os.path.exists(opt.pretrain_weights):
             from uformer_tpu.train.checkpoints import load_params
 
@@ -134,10 +147,18 @@ class Trainer:
 
     def validate(self, state: TrainState, val_batches) -> float:
         """Mean PSNR over the val set (reference protocol: clamp, batch_PSNR
-        summed then divided by dataset length, train_denoise.py:188-202)."""
+        summed then divided by dataset length, train_denoise.py:188-202).
+
+        Val images of arbitrary size are padded to the model's size
+        multiple and unpadded after the forward, matching the test-script
+        behavior (reference test/test_sidd.py:106 via expand2square)."""
+        from uformer_tpu.eval.padding import pad_to_multiple, unpad
+
+        factor = self.opt.win_size * 16
         total, count = 0.0, 0
         for batch in val_batches:
-            restored = self.eval_step(state.params, batch["input"])
+            inp, orig_hw = pad_to_multiple(batch["input"], factor)
+            restored = unpad(self.eval_step(state.params, inp), orig_hw)
             total += float(batch_psnr(np.asarray(restored),
                                       np.asarray(batch["target"]),
                                       average=False))
@@ -175,7 +196,10 @@ class Trainer:
         with self.mesh:
             for epoch in range(self.start_epoch, opt.nepoch + 1):
                 t0 = time.time()
-                epoch_loss = 0.0
+                # accumulate the loss on device — a float(loss) here would
+                # force a host sync every step (pathological on the
+                # high-latency device link); fetched once per epoch below
+                epoch_loss = jnp.zeros((), jnp.float32)
                 it = batch_iterator(train_dataset, opt.batch_size,
                                     shuffle=True, seed=opt.seed + epoch,
                                     num_threads=opt.workers)
@@ -183,7 +207,7 @@ class Trainer:
                         prefetch_to_device(it, sharding=shardings)):
                     rng, step_rng = jax.random.split(rng)
                     state, loss = self.train_step(state, batch, step_rng)
-                    epoch_loss += float(loss)
+                    epoch_loss = epoch_loss + loss
 
                     if (i + 1) % eval_now == 0:
                         psnr = self.validate(state, val_batches())
@@ -191,7 +215,8 @@ class Trainer:
                             best_psnr, best_epoch, best_iter = psnr, epoch, i
                             save_checkpoint(self.model_dir, "model_best",
                                             epoch, state.params,
-                                            state.opt_state)
+                                            state.opt_state,
+                                            step=int(state.step))
                         self.log(
                             "[Ep %d it %d\t PSNR %s: %.4f\t] ----  "
                             "[best_Ep %d best_it %d Best_PSNR %.4f] " % (
@@ -201,11 +226,13 @@ class Trainer:
                 lr = float(self.sched(int(state.step) - 1))
                 self.log("Epoch: {}\tTime: {:.4f}\tLoss: {:.4f}\t"
                          "LearningRate {:.6f}".format(
-                             epoch, time.time() - t0, epoch_loss, lr))
+                             epoch, time.time() - t0, float(epoch_loss), lr))
                 save_checkpoint(self.model_dir, "model_latest", epoch,
-                                state.params, state.opt_state)
+                                state.params, state.opt_state,
+                                step=int(state.step))
                 if epoch % opt.checkpoint == 0:
                     save_checkpoint(self.model_dir, f"model_epoch_{epoch}",
-                                    epoch, state.params, state.opt_state)
+                                    epoch, state.params, state.opt_state,
+                                    step=int(state.step))
         self.log("Now time is : " + datetime.datetime.now().isoformat())
         return state, best_psnr
