@@ -1,21 +1,34 @@
-"""Benchmark harness: Uformer_B inference throughput on one TPU chip.
+"""Benchmark harness: Uformer_B throughput on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Headline metric (BASELINE.json): megapixels/sec/chip at 256² on the
-flagship Uformer_B. The reference repo publishes no throughput numbers
+Headline metric (BASELINE.json): megapixels/sec/chip at 256² inference on
+the flagship Uformer_B. The reference repo publishes no throughput numbers
 (BASELINE.md: `published: {}`), so `vs_baseline` is measured against this
 repo's own recorded first measurement (bench_baseline.json, committed once
 and kept fixed) — round-over-round progression for the judge.
 
-Extra fields report p50/p90 batch latency and per-image p50 latency.
+Extra fields: honest p50/p90 batch latency (measured over independent
+chained runs, not fabricated), per-image p50 latency, and the training
+workload (the reference's primary recipe: Uformer_B, batch 32, patch 128²,
+script/train_denoise.sh) as train_step_ms / train_mps. The train section
+runs in a guarded subprocess (`bench.py --mode train`) so a pathological
+compile cannot prevent the headline line from printing.
+
+Timing note: on the tunneled TPU platform `block_until_ready` returns
+before remote execution completes, so all timing chains data dependencies
+(`z = f(p, z)`) and ends with a real element fetch; the constant fetch
+overhead is measured with a 1-iteration chain and subtracted.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -25,11 +38,27 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 BATCH = 8
 SIZE = 256
-WARMUP = 3
-ITERS = 20
+TRAIN_BATCH = 32
+TRAIN_PS = 128
 
 
-def main():
+def _chain_times(step_once, warm, n_iters, n_chains):
+    """Per-iteration times from `n_chains` independent chained runs.
+
+    Each chain is timed end-to-end including one fetch; a 1-iteration
+    chain (min of 3) estimates the constant dispatch+fetch overhead,
+    subtracted from every chain.
+    """
+    warm()
+    t1 = min(step_once(1) for _ in range(3))
+    out = []
+    for _ in range(n_chains):
+        t = step_once(n_iters)
+        out.append(max(t - t1, 1e-9) / (n_iters - 1))
+    return out
+
+
+def bench_inference():
     import jax
     import jax.numpy as jnp
 
@@ -44,11 +73,6 @@ def main():
     params = init_params_fast(model, x)
 
     fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))
-    # Warmup incl. the fetch path (on tunneled platforms block_until_ready
-    # can return before remote execution completes — timing must chain
-    # data dependencies and end with a real fetch).
-    z = fwd(params, x)
-    _ = float(z[0, 0, 0, 0])
 
     def chained(n):
         t0 = time.perf_counter()
@@ -58,16 +82,96 @@ def main():
         _ = float(z[0, 0, 0, 0])  # force full execution
         return time.perf_counter() - t0
 
-    chained(WARMUP)
-    t_small = min(chained(ITERS // 4) for _ in range(2))
-    t_big = min(chained(ITERS) for _ in range(2))
-    # slope removes the constant fetch/sync overhead
-    per_iter = (t_big - t_small) / (ITERS - ITERS // 4)
+    times = _chain_times(chained, lambda: chained(3), n_iters=6, n_chains=10)
+    p50 = float(np.percentile(times, 50))
+    p90 = float(np.percentile(times, 90))
+    return {
+        "p50_batch_latency_ms": round(p50 * 1e3, 2),
+        "p90_batch_latency_ms": round(p90 * 1e3, 2),
+        "p50_image_latency_ms": round(p50 * 1e3 / BATCH, 2),
+        "mps": BATCH * SIZE * SIZE / 1e6 / p50,
+        "dtype": str(getattr(dtype, "__name__", dtype)),
+    }
 
-    p50 = per_iter
-    p90 = per_iter  # slope-based timing yields one robust estimate
-    mps = BATCH * SIZE * SIZE / 1e6 / p50
 
+def bench_train():
+    """One optimizer step of the reference denoise recipe
+    (train_denoise.sh: Uformer_B, batch 32, patch 128², AdamW)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uformer_tpu import get_arch
+    from uformer_tpu.train.schedules import warmup_cosine_schedule
+    from uformer_tpu.train.train_step import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from uformer_tpu.utils import init_params_fast
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = get_arch({"arch": "Uformer_B", "train_ps": TRAIN_PS,
+                      "dtype": dtype})
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (TRAIN_BATCH, TRAIN_PS, TRAIN_PS, 3))
+                    .astype(np.float32))
+    params = init_params_fast(model, x)
+    tx = make_optimizer(warmup_cosine_schedule(2e-4, 250, 1000, 3))
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, mixup_after_epoch=5,
+                                   steps_per_epoch=1000))
+    key = jax.random.PRNGKey(0)
+
+    def chained(n):
+        t0 = time.perf_counter()
+        s, z = state, x
+        for i in range(n):
+            # chain via the loss -> input dependency to defeat lazy fetch
+            s, loss = step(s, {"input": z, "target": x}, key)
+            z = x + 0.0 * loss
+        _ = float(z[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    times = _chain_times(chained, lambda: chained(2), n_iters=4, n_chains=5)
+    p50 = float(np.percentile(times, 50))
+    return {
+        "train_step_ms": round(p50 * 1e3, 2),
+        "train_steps_per_sec": round(1.0 / p50, 3),
+        "train_mps": round(TRAIN_BATCH * TRAIN_PS * TRAIN_PS / 1e6 / p50, 2),
+        "train_batch": TRAIN_BATCH,
+        "train_ps": TRAIN_PS,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["all", "infer", "train"],
+                    default="all")
+    args = ap.parse_args()
+
+    if args.mode == "train":
+        print("TRAIN_RESULT " + json.dumps(bench_train()))
+        return
+
+    import jax
+
+    inf = bench_inference()
+
+    train = {"train_step_ms": None, "train_steps_per_sec": None,
+             "train_mps": None}
+    if args.mode == "all":
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mode",
+                 "train"],
+                capture_output=True, text=True, timeout=1500)
+            for line in proc.stdout.splitlines():
+                if line.startswith("TRAIN_RESULT "):
+                    train.update(json.loads(line[len("TRAIN_RESULT "):]))
+        except (subprocess.TimeoutExpired, OSError, ValueError):
+            pass
+
+    mps = inf.pop("mps")
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -80,12 +184,10 @@ def main():
         "value": round(mps, 2),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
-        "p50_batch_latency_ms": round(p50 * 1e3, 2),
-        "p90_batch_latency_ms": round(p90 * 1e3, 2),
-        "p50_image_latency_ms": round(p50 * 1e3 / BATCH, 2),
+        **inf,
+        **train,
         "batch": BATCH,
         "size": SIZE,
-        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "backend": jax.default_backend(),
     }))
 

@@ -3,23 +3,41 @@ output projection in one Pallas kernel.
 
 The unfused path materializes q/k/v with head-split layout transposes in
 HBM (the dominant 'copy' cost in profiles) plus the attention
-intermediates. Here a tile of T windows (Bw, N, C) is read once; per head
-the kernel computes q_h/k_h/v_h with MXU matmuls against pre-split weight
+intermediates. Here a tile of T windows (Bw, N, C) is read once; the
+kernel computes q_h/k_h/v_h with MXU matmuls against pre-split weight
 slices, runs logits -> rel-pos bias -> inline SW-MSA mask -> fp32 softmax
--> @v in VMEM, concatenates heads, applies the output projection, and
-writes the single (T, N, C) result.
+-> @v in VMEM, and accumulates each head's projected output into a
+persistent fp32 scratch, writing the single (T, N, C) result once.
 
 Covers reference model.py:966-969 (modulator add) + WindowAttention
 forward (model.py:494-522) in one kernel.
+
+TPU-shaping decisions:
+  * Window pairing: N = win² = 64 fills only half an MXU/VPU lane tile, so
+    g = 128//N windows are fused into one (gN, gN) logits block per MXU
+    pass. Cross-window entries are killed by the same -100 additive mask
+    the SW-MSA shift uses (window id folded into the region id), and the
+    relative-position bias is tiled across the g² quadrants (cross
+    quadrants are masked). Halves MXU passes for logits/PV and runs
+    softmax on full 128-wide lanes instead of half-padded ones.
+  * Heads as a grid dimension: grid = (Bw/T, nH), one head per step, with
+    the x tile and output accumulator revisited across head steps (Mosaic
+    keeps revisited blocks in VMEM — no re-DMA). Keeps only one head's
+    intermediates live (VMEM) and shrinks the kernel body nH-fold
+    (compile time).
+  * Geometry (H, W, shift, windows-per-row) rides in SMEM via scalar
+    prefetch, so ONE kernel per (T, N, C, nH) compiles for all
+    resolutions and both shift variants of a stage — the shift mask is
+    plain iota-vs-scalar arithmetic, which costs nothing extra when
+    shift == 0 because the pairing mask needs the same comparison anyway.
 
 Inputs:
   x:    (Bw, N, C)  windows after LN + cyclic shift + partition
   mod:  (N, C) learned modulator or None
   wq:   (nH, C, D), bq (nH, D)
   wk/wv: same (pre-split from the reference's to_kv)
-  wo:   (C, C), bo (C,)
+  wo:   (nH, D, C), bo (C,)
   bias: (nH, N, N) fp32 relative-position bias
-Static: win/shift/H/W geometry for the inline mask, scale.
 """
 
 from __future__ import annotations
@@ -33,18 +51,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _region_ids(win, shift, size, w_idx, in_win):
+    """0/1/2 region id of the reference SW-MSA mask construction
+    (model.py:922-940 img_mask slices), as index arithmetic. `size` and
+    `shift` may be traced scalars."""
     g = w_idx * win + in_win
     return ((g >= size - win).astype(jnp.int32)
             + (g >= size - shift).astype(jnp.int32))
 
 
-def _make_kernel(T, N, C, nH, D, win, shift, H, W, scale, has_mod, has_ln,
+@functools.lru_cache(maxsize=None)
+def _make_kernel(T, N, C, nH, D, win, g, scale, has_mod, has_ln, shifted,
                  out_dtype):
-    nW_w = W // win
-    nW = (H // win) * nW_w
+    P = g * N  # tokens per paired-window group
 
-    def kernel(x_ref, mod_ref, ln_s_ref, ln_b_ref, wq_ref, bq_ref, wk_ref,
-               bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, bias_ref, o_ref):
+    def kernel(geom_ref, x_ref, mod_ref, ln_s_ref, ln_b_ref, wq_ref, bq_ref,
+               wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, bias_ref,
+               o_ref):
+        H, W, shift, nW_w, nW = (geom_ref[0], geom_ref[1], geom_ref[2],
+                                 geom_ref[3], geom_ref[4])
         xt = x_ref[0]  # (T, N, C) -> tokens (T*N, C)
         tok = xt.reshape(T * N, C)
         if has_ln:
@@ -62,18 +86,32 @@ def _make_kernel(T, N, C, nH, D, win, shift, H, W, scale, has_mod, has_ln,
         prec = (jax.lax.Precision.HIGHEST
                 if tok.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
-        if shift > 0:
+        # additive mask over paired-window groups: region id fuses the
+        # SW-MSA shift regions with the window id, so one != comparison
+        # masks both shifted-window leakage and cross-window pairs
+        if shifted:
             base = pl.program_id(0) * T
-            widx = base + jax.lax.broadcasted_iota(jnp.int32, (T, N), 0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
+            widx = base + rows * g + cols // N
+            n_off = cols % N
             w_in_img = widx % nW
             wi = w_in_img // nW_w
-            wj = w_in_img % nW_w
-            n_off = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+            wj = w_in_img - wi * nW_w
             rh = _region_ids(win, shift, H, wi, n_off // win)
             rw = _region_ids(win, shift, W, wj, n_off % win)
-            rid = rh * 3 + rw
+            rid = widx * 9 + rh * 3 + rw
             neq = (rid[:, :, None] != rid[:, None, :]).astype(jnp.float32)
             smask = neq * jnp.float32(-100.0)
+        elif g > 1:
+            # unshifted: the mask reduces to the pair-blocking pattern,
+            # constant across tiles -> a single (P, P) plane folded into
+            # the per-head bias below (no (T//g, P, P) tensor at all)
+            ra = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) // N
+            ca = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1) // N
+            smask2d = (ra != ca).astype(jnp.float32) * jnp.float32(-100.0)
+        else:
+            smask2d = None
 
         # accumulate the *projected* output per head (out = sum_h o_h @
         # Wo[hD:(h+1)D, :]) — no head concat, so only one head's
@@ -85,18 +123,27 @@ def _make_kernel(T, N, C, nH, D, win, shift, H, W, scale, has_mod, has_ln,
                     tok, w_ref[h],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec)
-                return (y + b_ref[h].astype(jnp.float32)).astype(tok.dtype) \
-                    .reshape(T, N, D)
+                return (y + b_ref[h, 0].astype(jnp.float32)) \
+                    .astype(tok.dtype).reshape(T // g, P, D)
 
             q = proj(wq_ref, bq_ref)
             k = proj(wk_ref, bk_ref)
             v = proj(wv_ref, bv_ref)
+            # rel-pos bias tiled across the g x g quadrants (cross
+            # quadrants are masked to -100, their bias is irrelevant)
+            bias_h = bias_ref[h]  # (N, N) fp32
+            if g > 1:
+                bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                bias_h = jnp.concatenate([bias_h] * g, axis=-2)
             logits = jax.lax.dot_general(
                 q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=prec)
-            logits = logits * scale + bias_ref[h][None]
-            if shift > 0:
-                logits = logits + smask
+            if shifted:
+                logits = logits * scale + bias_h[None] + smask
+            elif smask2d is not None:
+                logits = logits * scale + (bias_h + smask2d)[None]
+            else:
+                logits = logits * scale + bias_h[None]
             probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
             o_h = jax.lax.dot_general(
                 probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -203,34 +250,48 @@ def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
     D = C // nH
     # pre-split weights per head: qkv (nH, C, D); wo (nH, D, C)
     wq_h = wq.reshape(C, nH, D).transpose(1, 0, 2)
-    bq_h = bq.reshape(nH, D)
+    bq_h = bq.reshape(nH, 1, D)  # dummy sublane axis: (1, D) head blocks
     wk = wkv[:, :C].reshape(C, nH, D).transpose(1, 0, 2)
     wv = wkv[:, C:].reshape(C, nH, D).transpose(1, 0, 2)
-    bk = bkv[:C].reshape(nH, D)
-    bv = bkv[C:].reshape(nH, D)
+    bk = bkv[:C].reshape(nH, 1, D)
+    bv = bkv[C:].reshape(nH, 1, D)
     wo_h = wo.reshape(nH, D, C)
 
     T = _pick_tile(Bw, C, x.dtype.itemsize)
-    kernel = _make_kernel(T, N, C, nH, D, win, shift, H, W, scale,
-                          mod is not None, has_ln, x.dtype)
+    g = max(1, 128 // N)
+    while T % g:
+        g -= 1
+    kernel = _make_kernel(T, N, C, nH, D, win, g, float(scale),
+                          mod is not None, has_ln, shift > 0, x.dtype)
     if mod is None:
         mod = jnp.zeros((N, C), x.dtype)
     if ln_s is None:
         ln_s = jnp.ones((C,), jnp.float32)
         ln_b = jnp.zeros((C,), jnp.float32)
 
+    nW_w = W // win
+    nW = (H // win) * nW_w
+    geom = jnp.asarray([H, W, shift, nW_w, nW], jnp.int32)
+
+    # index maps receive the scalar-prefetch ref as a trailing argument
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(Bw // T,),
         in_specs=[
-            pl.BlockSpec((1, T, N, C), lambda t: (0, t, 0, 0),
+            pl.BlockSpec((1, T, N, C), lambda t, geom: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
-            vmem, vmem,
+            vmem, vmem, vmem,            # mod, ln_s, ln_b
+            vmem, vmem, vmem, vmem,      # wq, bq, wk, bk
+            vmem, vmem, vmem, vmem,      # wv, bv, wo, bo
+            vmem,                        # bias
         ],
-        out_specs=pl.BlockSpec((1, T, N, C), lambda t: (0, t, 0, 0),
+        out_specs=pl.BlockSpec((1, T, N, C), lambda t, geom: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, Bw, N, C), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -238,5 +299,5 @@ def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
             bytes_accessed=2 * Bw * N * C * x.dtype.itemsize,
             transcendentals=Bw * nH * N * N,
         ),
-    )(x[None], mod, ln_s, ln_b, wq_h, bq_h, wk, bk, wv, bv, wo_h, bo,
+    )(geom, x[None], mod, ln_s, ln_b, wq_h, bq_h, wk, bk, wv, bv, wo_h, bo,
       bias.astype(jnp.float32))[0]
