@@ -135,9 +135,14 @@ class LeFF(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, ln_params=None):
+    def __call__(self, x, deterministic: bool = True, ln_params=None,
+                 residual: bool = False):
+        """residual=True returns x + LeFF(LN?(x)) — lets the block fold
+        its second LN + residual into the fused kernel (one read/write of
+        x instead of four XLA passes)."""
         from uformer_tpu.ops.attention import resolve_backend
 
+        x0 = x
         dim = x.shape[-1]
         w1 = self.param("linear1_kernel", dense_init, (dim, self.hidden_dim))
         b1 = self.param("linear1_bias", nn.initializers.zeros,
@@ -154,21 +159,26 @@ class LeFF(nn.Module):
 
         ln_s, ln_b = ln_params if ln_params is not None else (None, None)
         backend = resolve_backend(self.dw_backend)
+        # the fused kernel can absorb the residual only if eca doesn't sit
+        # between the LeFF output and the add
+        k_res = residual and not self.use_eca
         if backend == "pallas" and (self.drop == 0.0 or deterministic) \
                 and jax.default_backend() == "tpu":
             from uformer_tpu.ops.pallas.leff import fused_leff_ad
 
             out = fused_leff_ad(
                 x, w1.astype(x.dtype), b1, wd.astype(x.dtype), bd,
-                w2.astype(x.dtype), b2, ln_s=ln_s, ln_b=ln_b)
+                w2.astype(x.dtype), b2, ln_s=ln_s, ln_b=ln_b,
+                residual=k_res)
         elif backend == "pallas":
             from uformer_tpu.ops.pallas.leff import fused_leff
 
             out = fused_leff(
                 x, w1.astype(x.dtype), b1, wd.astype(x.dtype), bd,
                 w2.astype(x.dtype), b2, ln_s=ln_s, ln_b=ln_b,
-                interpret=True)
+                residual=k_res, interpret=True)
         else:
+            k_res = False
             cd = self.dtype
             if ln_params is not None:
                 xf = x.astype(jnp.float32)
@@ -186,6 +196,8 @@ class LeFF(nn.Module):
             out = nn.Dropout(self.drop)(out, deterministic=deterministic)
         if self.use_eca:
             out = Eca1d(name="eca")(out)
+        if residual and not k_res:
+            out = x0 + out
         return out
 
 
@@ -621,28 +633,32 @@ class LeWinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic=deterministic)
 
-        # LN2 fold measured slower than XLA's standalone LN (the in-kernel
-        # lane-padded fp32 LN + smaller tiles outweigh the saved pass) —
-        # disabled; kept available in the kernels for future layouts.
-        defer_ln2 = False and fused and self.token_mlp in ("leff", "fastleff") \
-            and (self.drop == 0.0 or deterministic)
-        if defer_ln2:
+        # At eval (deterministic: DropPath/Dropout are identity) the whole
+        # LN2 -> LeFF -> residual sub-block folds into the fused kernel —
+        # x is read and written once instead of ~4 XLA passes.
+        fold_mlp = (deterministic
+                    and self.token_mlp in ("leff", "fastleff"))
+        if fold_mlp:
             ln2 = _LNParams(self.dim, name="norm2")()
-            y = x
-        else:
-            ln2 = None
-            y = _norm("norm2", self.dtype)(x)
+            return LeFF(
+                hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
+                dw_backend=("pallas" if self.token_mlp == "fastleff"
+                            else "auto"),
+                dtype=self.dtype, name="mlp")(
+                    x, deterministic=True, ln_params=ln2, residual=True)
+
+        y = _norm("norm2", self.dtype)(x)
         if self.token_mlp in ("ffn", "mlp"):
             y = Mlp(hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
                     dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
         elif self.token_mlp == "leff":
             y = LeFF(hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
                      dtype=self.dtype, name="mlp")(
-                         y, deterministic=deterministic, ln_params=ln2)
+                         y, deterministic=deterministic)
         elif self.token_mlp == "fastleff":
             y = LeFF(hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
                      dw_backend="pallas", dtype=self.dtype, name="mlp")(
-                         y, deterministic=deterministic, ln_params=ln2)
+                         y, deterministic=deterministic)
         else:
             raise ValueError(f"unknown token_mlp {self.token_mlp}")
         x = x + DropPath(self.drop_path, name="drop_path2")(

@@ -9,11 +9,13 @@ VMEM: per grid step the kernel takes an H-tile of the input with a
 1-row/col halo, runs both matmuls on the MXU and the 9-tap depthwise conv
 on the VPU, and writes only the final C-wide output.
 
-Halo handling: Mosaic DMA requires 128-aligned minor dims, which C=32/64
-stages violate, so instead of manual halo DMA the wrapper materializes an
-overlapped-tiles gather (B, nT, Th+2, W+2, C) in HBM — one extra ~|x|
-read/write, small against the ~16|x| of hidden traffic saved — and the
-kernel uses plain BlockSpec blocking.
+Halo handling: the +-1-row conv halo is read through two extra
+BlockSpec views of the same input (the 8-row block just above and just
+below the tile) — no HBM gather, no manual DMA (which would require
+128-aligned minor dims that C=32/64 stages violate). The W halo is a
+zero-pad ring built in VMEM. Optionally folds the preceding LayerNorm
+(ln_s/ln_b) and the block residual (out += x) so an entire
+`x + LeFF(LN(x))` sub-block is ONE read and ONE write of x.
 
 This kernel is also the TPU-native answer to the reference's one custom
 CUDA kernel (torch_dwconv.DepthwiseConv2d used by FastLeFF,
@@ -79,7 +81,7 @@ def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
 
 
 def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
-                 out_dtype, chunk_target: int = 1):
+                 residual: bool, out_dtype, chunk_target: int = 1):
     cheap = out_dtype == jnp.bfloat16
 
     # Row-chunked pipeline: the LeFF chain (matmul -> GELU -> 9-tap conv ->
@@ -106,10 +108,16 @@ def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
             r += rows
         return chunks
 
-    def kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
-               w2_ref, b2_ref, o_ref, hid_ref):
+    def kernel(xm_ref, xa_ref, xb_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref,
+               wd_ref, bd_ref, w2_ref, b2_ref, o_ref, hid_ref):
         t = pl.program_id(1)
-        xt = x_ref[0, 0]  # (Th+2, W+2, C)
+        xm = xm_ref[0]  # (Th, W, C) tile rows
+        # assemble the +-1-row halo from the neighbouring 8-row blocks
+        # (clamped at the image edges — the conv ring mask zeroes whatever
+        # lands outside the image) and the zero W-pad ring
+        xt = jnp.concatenate([xa_ref[0, 7:8], xm, xb_ref[0, 0:1]], axis=0)
+        zc = jnp.zeros((Th + 2, 1, C), xt.dtype)
+        xt = jnp.concatenate([zc, xt, zc], axis=1)  # (Th+2, W+2, C)
         prec = (jax.lax.Precision.HIGHEST
                 if xt.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
@@ -154,8 +162,10 @@ def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             out = out + b2_ref[:].astype(jnp.float32)
-            o_ref[0, r0:r0 + rows_b] = \
-                out.reshape(rows_b, W, C).astype(out_dtype)
+            out = out.reshape(rows_b, W, C)
+            if residual:
+                out = out + xm[r0:r0 + rows_b].astype(jnp.float32)
+            o_ref[0, r0:r0 + rows_b] = out.astype(out_dtype)
 
     return kernel
 
@@ -164,29 +174,31 @@ def _pick_th(H: int, W: int, Ch: int, itemsize: int,
              budget: int | None = None, C: int = 0) -> int:
     """Tile height: the hidden tile (Th+2, W+2, Ch) dominates VMEM; keep it
     (plus the fp32 conv accumulator and the folded-LN fp32 token copy,
-    both lane-padded to 128) under budget."""
+    both lane-padded to 128) under budget. The neighbour-block halo scheme
+    needs Th to be a multiple-of-8 divisor of H (H pre-padded to 8)."""
     if budget is None:  # fp32 tiles are 2x + HIGHEST-precision scratch
         budget = (10 if itemsize <= 2 else 4) * 2**20
-    per_row = (W + 2) * max(Ch, 128) * (itemsize + 4)  # bf16 hid + f32 acc
-    per_row += (W + 2) * max(C, 128) * (4 + 2 * itemsize)  # LN f32 + x io
-    th = max(budget // max(per_row, 1) - 2, 1)
-    th = min(th, H)
-    # prefer a divisor of H (no pad-and-crop copy) unless it costs >25%
-    # of the tile height; otherwise pad H to a Th multiple in the caller
-    d = th
-    while H % d:
-        d -= 1
-    return d if d >= (3 * th) // 4 else th
+    # hid scratch + f32 conv acc + f32 gelu temps on the hidden width
+    per_row = (W + 2) * max(Ch, 128) * (itemsize + 4 + 4)
+    # x tile/halo/assembled copies (double-buffered) + LN f32 temp
+    per_row += (W + 2) * max(C, 128) * (4 + 5 * itemsize)
+    th = max(budget // max(per_row, 1) - 2, 8)
+    th = min(th // 8 * 8, H)
+    while H % th or th % 8:
+        th -= 8
+    return max(th, 8)
 
 
-def leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None):
+def leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None,
+                   residual=False):
     """jnp reference of the fused pipeline (for CPU, tests, and the
-    backward pass). Optional folded pre-LayerNorm."""
+    backward pass). Optional folded pre-LayerNorm and block residual."""
     from uformer_tpu.ops.dwconv import _depthwise_conv2d_jnp
 
     def g(v):
         return jax.nn.gelu(v, approximate=False)
 
+    x0 = x
     if ln_s is not None:
         xf = x.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)
@@ -198,11 +210,12 @@ def leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None):
     y = g(y)
     y = _depthwise_conv2d_jnp(y, wd, bd)
     y = g(y)
-    return (y @ w2.astype(x.dtype)) + b2.astype(x.dtype)
+    y = (y @ w2.astype(x.dtype)) + b2.astype(x.dtype)
+    return x0 + y if residual else y
 
 
-@functools.lru_cache(maxsize=2)
-def _leff_ad_factory(has_ln: bool):
+@functools.lru_cache(maxsize=4)
+def _leff_ad_factory(has_ln: bool, residual: bool):
     """custom_vjp wrapper: Pallas forward, reference-jnp VJP backward
     (rematerialized — the memory policy the reference reaches for with
     torch.utils.checkpoint, model.py:1056)."""
@@ -211,7 +224,8 @@ def _leff_ad_factory(has_ln: bool):
     def f(x, w1, b1, wd, bd, w2, b2, ln_s, ln_b):
         return fused_leff(x, w1, b1, wd, bd, w2, b2,
                           ln_s=ln_s if has_ln else None,
-                          ln_b=ln_b if has_ln else None)
+                          ln_b=ln_b if has_ln else None,
+                          residual=residual)
 
     def fwd(*args):
         return f(*args), args
@@ -220,7 +234,7 @@ def _leff_ad_factory(has_ln: bool):
         def ref(*a):
             return leff_reference(
                 *a[:7], ln_s=a[7] if has_ln else None,
-                ln_b=a[8] if has_ln else None)
+                ln_b=a[8] if has_ln else None, residual=residual)
 
         _, vjp = jax.vjp(ref, *res)
         return vjp(g)
@@ -229,62 +243,73 @@ def _leff_ad_factory(has_ln: bool):
     return f
 
 
-def fused_leff_ad(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None):
+def fused_leff_ad(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None,
+                  residual=False):
     has_ln = ln_s is not None
     if ln_s is None:
         C = x.shape[-1]
         ln_s = jnp.ones((C,), jnp.float32)
         ln_b = jnp.zeros((C,), jnp.float32)
-    return _leff_ad_factory(has_ln)(x, w1, b1, wd, bd, w2, b2, ln_s, ln_b)
+    return _leff_ad_factory(has_ln, residual)(x, w1, b1, wd, bd, w2, b2,
+                                              ln_s, ln_b)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "chunk_target"))
+@functools.partial(jax.jit, static_argnames=("residual", "interpret",
+                                              "chunk_target"))
 def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
-               interpret: bool = False, chunk_target: int = 1):
+               residual: bool = False, interpret: bool = False,
+               chunk_target: int = 1):
     """x: (B, H, W, C); returns (B, H, W, C). SAME-padded 3x3 depthwise.
-    Optional ln_s/ln_b fold a preceding per-token LayerNorm in."""
+    Optional ln_s/ln_b fold a preceding per-token LayerNorm in;
+    residual=True returns x + LeFF(LN(x)) — the whole sub-block in one
+    read and one write of x."""
     B, H, W, C = x.shape
     Ch = w1.shape[1]
     has_ln = ln_s is not None
     if ln_s is None:
         ln_s = jnp.ones((C,), jnp.float32)
         ln_b = jnp.zeros((C,), jnp.float32)
+    H0 = H
+    if H % 8:  # odd sizes (tests, non-window models): pad rows, crop after
+        Hp = (H + 7) // 8 * 8
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+        H = Hp
     Th = _pick_th(H, W, Ch, x.dtype.itemsize, C=C)
-    # pad H to a Th multiple (tail rows produce junk that we crop) instead
-    # of shrinking Th to a divisor of H — a smaller Th inflates the halo
-    # and grid-step overhead (e.g. 256 rows: Th 13 -> divisor 8 is +25% DMA)
-    nT = -(-H // Th)
-    Hp = nT * Th
-    xp = jnp.pad(x, ((0, 0), (1, 1 + Hp - H), (1, 1), (0, 0)))
-    x_ov = overlapped_tiles(xp, Th)  # (B, nT, Th+2, W+2, C)
-    kernel = _make_kernel(Th, H, W, C, Ch, has_ln, x.dtype,
+    nT = H // Th
+    nB8 = H // 8
+    kernel = _make_kernel(Th, H0, W, C, Ch, has_ln, residual, x.dtype,
                           chunk_target=chunk_target)
+    k8 = Th // 8
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         grid=(B, nT),
         in_specs=[
-            pl.BlockSpec((1, 1, Th + 2, W + 2, C),
-                         lambda b, t: (b, t, 0, 0, 0),
+            pl.BlockSpec((1, Th, W, C), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wd
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
+            # 8-row neighbour blocks just above / below the tile (clamped
+            # at the edges; the ring mask zeroes out-of-image halo rows)
+            pl.BlockSpec((1, 8, W, C),
+                         lambda b, t: (b, jnp.maximum(t * k8 - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, W, C),
+                         lambda b, t: (b, jnp.minimum(t * k8 + k8, nB8 - 1),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            vmem, vmem,              # ln_s, ln_b
+            vmem, vmem, vmem, vmem,  # w1, b1, wd, bd
+            vmem, vmem,              # w2, b2
         ],
         out_specs=pl.BlockSpec((1, Th, W, C), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((Th + 2, W + 2, Ch), x.dtype)],
-        out_shape=jax.ShapeDtypeStruct((B, Hp, W, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * Ch * (2 * C + 9),
             bytes_accessed=3 * B * H * W * C * x.dtype.itemsize,
             transcendentals=2 * B * H * W * Ch,
         ),
-    )(x_ov, ln_s, ln_b, w1, b1, wd, bd, w2, b2)
-    return out[:, :H] if Hp != H else out
+    )(x, x, x, ln_s, ln_b, w1, b1, wd, bd, w2, b2)
+    return out[:, :H0] if H != H0 else out
