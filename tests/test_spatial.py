@@ -7,10 +7,12 @@ import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
+from uformer_tpu.models import Uformer
 from uformer_tpu.models.layers import LeWinBlock
 from uformer_tpu.parallel import make_mesh
 from uformer_tpu.parallel.spatial import (
     run_lewin_block_spatially_sharded,
+    run_uformer_spatially_sharded,
     tiled_inference_sharded,
 )
 from uformer_tpu.utils import init_params_fast
@@ -43,6 +45,39 @@ def test_sharded_lewin_block_noshift():
     got = np.asarray(run_lewin_block_spatially_sharded(
         params["params"], img, mesh, win=win, shift=0, num_heads=nH))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def _full_model_case(n_devices: int, img_size: int, depths):
+    """Sharded full-model forward == unsharded, on n_devices shards.
+
+    win=2 keeps the geometry small enough that several U levels stay
+    sharded on the CPU mesh while the deep levels exercise the
+    gather/replicate/re-scatter path (VERDICT round 1, item 5). depth 2
+    at the outer stages exercises the shifted (SW-MSA ppermute) blocks."""
+    mesh = make_mesh(jax.devices()[:n_devices])
+    model = Uformer(img_size=img_size, embed_dim=8, depths=depths,
+                    num_heads=(1, 2, 4, 8, 8, 8, 4, 2, 1), win_size=2,
+                    modulator=True, shift_flag=True, attn_backend="jnp")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        rng.uniform(0, 1, (1, img_size, img_size, 3)).astype(np.float32))
+    params = init_params_fast(model, x)
+
+    want = np.asarray(model.apply(params, x))
+    got = np.asarray(run_uformer_spatially_sharded(params, x, mesh, model))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_full_model_matches_unsharded_4dev():
+    # levels 32,16,8,4,2 over 4 shards: per-shard rows 8,4,2,1,- ->
+    # levels 0-2 sharded, levels 3-4 replicated: the gather happens
+    # mid-encoder and the re-scatter mid-decoder
+    _full_model_case(4, 32, (2, 2, 1, 1, 1, 1, 1, 2, 2))
+
+
+def test_sharded_full_model_matches_unsharded_8dev():
+    # 8 shards: per-shard rows 4,2,1 -> levels 0-1 sharded, 2-4 replicated
+    _full_model_case(8, 32, (2, 1, 1, 1, 1, 1, 1, 1, 2))
 
 
 def test_tiled_inference_sharded_identity():

@@ -40,37 +40,57 @@ def _perm(axis_name: str, up: bool):
     return [(i, (i + 1) % n) for i in range(n)]
 
 
-def cyclic_shift_sharded(x, shift: int, axis_name: str):
+def cyclic_shift_sharded(x, shift: int, axis_name: Optional[str]):
     """Global jnp.roll(x, -shift, axis=0) on an H-sharded (Hs, W, C) block:
-    each shard passes its first `shift` rows to the previous shard."""
+    each shard passes its first `shift` rows to the previous shard.
+    With axis_name=None the block is the full image (replicated stage) and
+    this is a plain local roll."""
     if shift == 0:
         return x
+    if axis_name is None:
+        return jnp.roll(x, -shift, axis=0)
     head = jax.lax.ppermute(x[:shift], axis_name, _perm(axis_name, up=True))
     return jnp.concatenate([x[shift:], head], axis=0)
 
 
-def cyclic_unshift_sharded(x, shift: int, axis_name: str):
+def cyclic_unshift_sharded(x, shift: int, axis_name: Optional[str]):
     if shift == 0:
         return x
+    if axis_name is None:
+        return jnp.roll(x, shift, axis=0)
     tail = jax.lax.ppermute(x[-shift:], axis_name, _perm(axis_name, up=False))
     return jnp.concatenate([tail, x[:-shift]], axis=0)
 
 
-def halo_exchange(x, halo: int, axis_name: str, periodic: bool = False):
-    """Extend (Hs, W, C) with `halo` rows from both neighbors ->
-    (Hs + 2*halo, W, C). Non-periodic edges get zeros (matching SAME
-    zero padding)."""
+def halo_exchange(x, halo, axis_name: Optional[str], periodic: bool = False):
+    """Extend (Hs, W, C) with neighbor rows -> (Hs + lo + hi, W, C).
+
+    `halo` is an int (symmetric) or an (lo, hi) pair — e.g. the 4x4
+    stride-2 Downsample conv needs (1, 2). Non-periodic edges get zeros
+    (matching SAME/pad-1 zero padding). With axis_name=None (replicated
+    stage holding the full image) this is plain zero padding.
+    """
+    lo, hi = (halo, halo) if isinstance(halo, int) else halo
+    if axis_name is None:
+        return jnp.pad(x, ((lo, hi), (0, 0), (0, 0)))
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    top = jax.lax.ppermute(x[-halo:], axis_name, _perm(axis_name, up=False))
-    bot = jax.lax.ppermute(x[:halo], axis_name, _perm(axis_name, up=True))
-    if not periodic:
-        top = jnp.where(idx == 0, jnp.zeros_like(top), top)
-        bot = jnp.where(idx == n - 1, jnp.zeros_like(bot), bot)
-    return jnp.concatenate([top, x, bot], axis=0)
+    parts = []
+    if lo:
+        top = jax.lax.ppermute(x[-lo:], axis_name, _perm(axis_name, up=False))
+        if not periodic:
+            top = jnp.where(idx == 0, jnp.zeros_like(top), top)
+        parts.append(top)
+    parts.append(x)
+    if hi:
+        bot = jax.lax.ppermute(x[:hi], axis_name, _perm(axis_name, up=True))
+        if not periodic:
+            bot = jnp.where(idx == n - 1, jnp.zeros_like(bot), bot)
+        parts.append(bot)
+    return jnp.concatenate(parts, axis=0)
 
 
-def dwconv_sharded(x, w, b, axis_name: str):
+def dwconv_sharded(x, w, b, axis_name: Optional[str]):
     """Depthwise 3x3 SAME on an H-sharded (Hs, W, C) block via 1-row halo."""
     from uformer_tpu.ops.dwconv import _depthwise_conv2d_jnp
 
@@ -134,11 +154,15 @@ def lewin_block_sharded(params, x, *, H: int, W: int, win: int, shift: int,
     mask = None
     if shift:
         full_mask = jnp.asarray(shift_window_mask(H, W, win, shift))
-        nW_w = W // win
-        row0 = jax.lax.axis_index(axis_name) * n_shard_rows
-        mask = jax.lax.dynamic_slice(
-            full_mask, (row0 * nW_w, 0, 0),
-            (n_shard_rows * nW_w, full_mask.shape[1], full_mask.shape[2]))
+        if axis_name is None:
+            mask = full_mask
+        else:
+            nW_w = W // win
+            row0 = jax.lax.axis_index(axis_name) * n_shard_rows
+            mask = jax.lax.dynamic_slice(
+                full_mask, (row0 * nW_w, 0, 0),
+                (n_shard_rows * nW_w, full_mask.shape[1],
+                 full_mask.shape[2]))
     out = _window_attention_jnp(q, k, v, bias, mask, scale=D ** -0.5)
     out = out @ p["attn"]["proj"]["kernel"].astype(out.dtype) + \
         p["attn"]["proj"]["bias"].astype(out.dtype)
@@ -184,6 +208,206 @@ def run_lewin_block_spatially_sharded(params, img, mesh: Mesh, *, win: int,
     )
     img = jax.device_put(img, NamedSharding(mesh, P("data", None, None)))
     return sharded(params, img)
+
+
+# ------------------------------------------- full-model sharded forward
+
+def _conv_nhwc(x, w, b, *, strides=(1, 1), padding):
+    """(H, W, Cin) conv with HWIO kernel -> (H', W', Cout)."""
+    y = jax.lax.conv_general_dilated(
+        x[None], w.astype(x.dtype), window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    return y + b.astype(y.dtype)
+
+
+def conv3x3_sharded(x, w, b, axis_name: Optional[str]):
+    """3x3 stride-1 SAME conv on an H-sharded (Hs, W, C) block (used by
+    Input/OutputProj — reference model.py:781-846): 1-row halo, local W pad."""
+    xh = halo_exchange(x, 1, axis_name)
+    return _conv_nhwc(xh, w, b, padding=((0, 0), (1, 1)))
+
+
+def downsample_sharded(x, w, b, axis_name: Optional[str]):
+    """4x4 stride-2 pad-1 conv (reference Downsample, model.py:730-753) on
+    an H-sharded block. Output row j reads input rows 2j-1..2j+2, so a
+    shard owning output rows [a, b) needs input rows [2a-1, 2b+2): halo
+    (1, 2). Requires Hs even."""
+    assert x.shape[0] % 2 == 0
+    xh = halo_exchange(x, (1, 2), axis_name)
+    return _conv_nhwc(xh, w, b, strides=(2, 2), padding=((0, 0), (1, 1)))
+
+
+def upsample_local(x, w, b):
+    """2x2 stride-2 ConvTranspose (reference Upsample, model.py:756-778).
+    Output rows 2i, 2i+1 depend only on input row i — no halo needed, so
+    the sharded and replicated cases are the same local op. Kernel layout
+    matches flax ConvTranspose(transpose_kernel=True): (2, 2, Cout, Cin)."""
+    y = jax.lax.conv_transpose(
+        x[None], w.astype(x.dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)[0]
+    return y + b.astype(y.dtype)
+
+
+def _leaky_relu(x):
+    return jnp.where(x >= 0, x, 0.01 * x)
+
+
+def _stage_geometry(reso: int, win: int, shift_flag: bool, depth: int):
+    """Mirror BasicLayer's construction-time win/shift adjustment
+    (reference model.py:863-865): per-block (win, shift) pairs."""
+    out = []
+    for i in range(depth):
+        shift = 0 if (not shift_flag or i % 2 == 0) else win // 2
+        if reso <= win:
+            out.append((min(reso, win), 0))
+        else:
+            out.append((win, shift))
+    return out
+
+
+def uformer_forward_sharded(params, x, model, *, n_shards: int,
+                            axis_name: str = "data"):
+    """Full Uformer forward on one (H, W, C) image H-sharded over
+    `axis_name` — numerically equal to `model.apply` on the gathered image.
+
+    Runs inside shard_map; `x` is this shard's (Hs, W, C) rows. Halo rules:
+    3x3 convs and LeFF dwconv exchange 1 row, Downsample 4x4s2 exchanges
+    (1, 2), Upsample 2x2s2 is halo-free; the SW-MSA cyclic roll is a
+    `shift`-row ppermute. Skip concats are channel-wise, hence shard-local.
+
+    Stages whose per-shard height would drop below one window row (the
+    deep/bottleneck levels, H/16) are computed replicated: one tiled
+    all_gather on the way down, a local row-slice re-scatter on the way up
+    — the FLOPs there are 1/256th of level 0, so duplicate compute is
+    cheaper than fine-grained comms. Level-k shardability: (H >> k) must
+    split into n_shards x (multiple of win) rows.
+
+    Covers the shipped arch space: token_projection='linear',
+    token_mlp='leff'/'fastleff', optional decoder modulator
+    (cross_modulator and input masks are not supported here).
+    """
+    if model.token_projection != "linear":
+        raise NotImplementedError("sharded forward: linear projection only")
+    if model.token_mlp not in ("leff", "fastleff"):
+        raise NotImplementedError("sharded forward: leff/fastleff only")
+    if model.cross_modulator:
+        raise NotImplementedError("sharded forward: no cross_modulator")
+
+    H = x.shape[0] * n_shards
+    W = x.shape[1]
+    win = model.win_size
+    depths = list(model.depths)
+    heads = list(model.num_heads)
+    E = model.embed_dim
+
+    def level_sharded(k):
+        Hk = H >> k
+        reso = max(model.img_size >> k, 1)
+        wk = min(reso, win)
+        return Hk % n_shards == 0 and (Hk // n_shards) % wk == 0
+
+    def ensure(y, cur: bool, want: bool):
+        """Move y between sharded (Hs, W, C) and replicated (H, W, C)."""
+        if cur == want:
+            return y
+        if cur and not want:
+            return jax.lax.all_gather(y, axis_name, axis=0, tiled=True)
+        rows = y.shape[0] // n_shards
+        row0 = jax.lax.axis_index(axis_name) * rows
+        return jax.lax.dynamic_slice(
+            y, (row0, 0, 0), (rows, y.shape[1], y.shape[2]))
+
+    def run_stage(p, y, k_level: int, depth: int, n_heads: int,
+                  sharded: bool, modulator: bool):
+        ax = axis_name if sharded else None
+        Hk = H >> k_level
+        reso = max(model.img_size >> k_level, 1)
+        for i, (wi, si) in enumerate(
+                _stage_geometry(reso, win, model.shift_flag, depth)):
+            bp = p[f"blocks_{i}"]
+            assert modulator == ("modulator" in bp)
+            y = lewin_block_sharded(
+                bp, y, H=Hk, W=W >> k_level, win=wi, shift=si,
+                num_heads=n_heads, axis_name=ax)
+        return y
+
+    sharded = [level_sharded(k) for k in range(5)]
+    cur = True  # input arrives H-sharded
+
+    y = ensure(x, cur, sharded[0])
+    cur = sharded[0]
+    y = _leaky_relu(conv3x3_sharded(
+        y, params["input_proj"]["proj"]["kernel"],
+        params["input_proj"]["proj"]["bias"],
+        axis_name if cur else None))
+
+    skips = []
+    for k in range(4):
+        y = run_stage(params[f"encoderlayer_{k}"], y, k, depths[k],
+                      heads[k], cur, modulator=False)
+        skips.append((y, cur))
+        y = downsample_sharded(
+            y, params[f"dowsample_{k}"]["conv"]["kernel"],
+            params[f"dowsample_{k}"]["conv"]["bias"],
+            axis_name if cur else None)
+        y = ensure(y, cur, sharded[k + 1])
+        cur = sharded[k + 1]
+
+    y = run_stage(params["conv"], y, 4, depths[4], heads[4], cur,
+                  modulator=False)
+
+    for k in range(4):
+        lvl = 3 - k
+        y = ensure(y, cur, sharded[lvl])  # halo-free up: scatter first
+        cur = sharded[lvl]
+        up = upsample_local(
+            y, params[f"upsample_{k}"]["deconv"]["kernel"],
+            params[f"upsample_{k}"]["deconv"]["bias"])
+        skip, skip_sharded = skips[lvl]
+        skip = ensure(skip, skip_sharded, cur)
+        y = jnp.concatenate([up, skip], axis=-1)
+        y = run_stage(params[f"decoderlayer_{k}"], y, lvl, depths[5 + k],
+                      heads[5 + k], cur, modulator=model.modulator)
+
+    y = conv3x3_sharded(
+        y, params["output_proj"]["proj"]["kernel"],
+        params["output_proj"]["proj"]["bias"],
+        axis_name if cur else None)
+    y = ensure(y, cur, True)
+    if model.dd_in == 3:
+        y = x.astype(jnp.float32) + y.astype(jnp.float32)
+    return y
+
+
+def run_uformer_spatially_sharded(params, img, mesh: Mesh, model):
+    """Drive the FULL Uformer forward over an (H, W, C) image (or
+    (1, H, W, C)) sharded over the mesh's 'data' axis. The whole U-graph —
+    convs, windows, shifts, skips — runs distributed with halo exchange;
+    only the sub-window-row deep levels are replicated (see
+    uformer_forward_sharded)."""
+    from jax import shard_map
+
+    if img.ndim == 4:
+        assert img.shape[0] == 1
+        img = img[0]
+    H = img.shape[0]
+    n = mesh.shape["data"]
+    win = model.win_size
+    if H % (n * win) != 0:
+        raise ValueError(
+            f"H={H} must be divisible by n_shards*win = {n}*{win} so each "
+            f"shard holds whole window rows at level 0")
+
+    p = params.get("params", params)
+    fn = functools.partial(uformer_forward_sharded, model=model,
+                           n_shards=n, axis_name="data")
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P("data", None, None)),
+        out_specs=P("data", None, None),
+    )
+    img = jax.device_put(img, NamedSharding(mesh, P("data", None, None)))
+    return sharded(p, img)[None]
 
 
 # ------------------------------------------------ sharded tiled inference
