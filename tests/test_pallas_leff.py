@@ -14,7 +14,11 @@ from uformer_tpu.utils import init_params_fast
 
 @pytest.mark.parametrize("shape,hidden", [((2, 16, 24, 8), 32),
                                           ((1, 8, 8, 16), 64),
-                                          ((1, 12, 20, 4), 16)])
+                                          ((1, 12, 20, 4), 16),
+                                          # pixel-packed mode (C<128,
+                                          # W % (128//C) == 0): p=4, p=2
+                                          ((1, 16, 32, 32), 128),
+                                          ((2, 16, 16, 64), 256)])
 def test_fused_leff_matches_reference(shape, hidden):
     rng = np.random.default_rng(0)
     B, H, W, C = shape

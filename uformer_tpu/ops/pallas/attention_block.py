@@ -60,7 +60,7 @@ def _region_ids(win, shift, size, w_idx, in_win):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_kernel(T, N, C, nH, D, win, g, scale, has_mod, has_ln, shifted,
+def _make_kernel(T, N, C, nH, D, win, g, hg, scale, has_mod, has_ln, shifted,
                  out_dtype):
     P = g * N  # tokens per paired-window group
 
@@ -113,44 +113,56 @@ def _make_kernel(T, N, C, nH, D, win, g, scale, has_mod, has_ln, shifted,
         else:
             smask2d = None
 
-        # accumulate the *projected* output per head (out = sum_h o_h @
-        # Wo[hD:(h+1)D, :]) — no head concat, so only one head's
-        # intermediates are live at a time
+        # head GROUPS of hg = 128//D heads: q/k/v projections and the
+        # output projection run as (T*N, C) @ (C, hg*D=128) MXU passes —
+        # full 128 lanes instead of the per-head D=32 quarter-tiles that
+        # dominated round 1 (VERDICT: "K=D=32 MXU waste"). Only the
+        # logits/PV contractions keep K=D (inherent to MHSA).
+        nG = nH // hg
         out = jnp.zeros((T * N, C), jnp.float32)
-        for h in range(nH):
+        for gi in range(nG):
             def proj(w_ref, b_ref):
                 y = jax.lax.dot_general(
-                    tok, w_ref[h],
+                    tok, w_ref[gi],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec)
-                return (y + b_ref[h, 0].astype(jnp.float32)) \
-                    .astype(tok.dtype).reshape(T // g, P, D)
+                return (y + b_ref[gi, 0].astype(jnp.float32)) \
+                    .astype(tok.dtype)
 
-            q = proj(wq_ref, bq_ref)
-            k = proj(wk_ref, bk_ref)
-            v = proj(wv_ref, bv_ref)
-            # rel-pos bias tiled across the g x g quadrants (cross
-            # quadrants are masked to -100, their bias is irrelevant)
-            bias_h = bias_ref[h]  # (N, N) fp32
-            if g > 1:
-                bias_h = jnp.concatenate([bias_h] * g, axis=-1)
-                bias_h = jnp.concatenate([bias_h] * g, axis=-2)
-            logits = jax.lax.dot_general(
-                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=prec)
-            if shifted:
-                logits = logits * scale + bias_h[None] + smask
-            elif smask2d is not None:
-                logits = logits * scale + (bias_h + smask2d)[None]
-            else:
-                logits = logits * scale + bias_h[None]
-            probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
-            o_h = jax.lax.dot_general(
-                probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=prec,
-            ).astype(tok.dtype)
+            qg = proj(wq_ref, bq_ref)  # (T*N, hg*D)
+            kg = proj(wk_ref, bk_ref)
+            vg = proj(wv_ref, bv_ref)
+            o_parts = []
+            for hh in range(hg):
+                h = gi * hg + hh
+                sl = slice(hh * D, (hh + 1) * D)
+                q = qg[:, sl].reshape(T // g, P, D)
+                k = kg[:, sl].reshape(T // g, P, D)
+                v = vg[:, sl].reshape(T // g, P, D)
+                # rel-pos bias tiled across the g x g quadrants (cross
+                # quadrants are masked to -100, their bias is irrelevant)
+                bias_h = bias_ref[h]  # (N, N) fp32
+                if g > 1:
+                    bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                    bias_h = jnp.concatenate([bias_h] * g, axis=-2)
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec)
+                if shifted:
+                    logits = logits * scale + bias_h[None] + smask
+                elif smask2d is not None:
+                    logits = logits * scale + (bias_h + smask2d)[None]
+                else:
+                    logits = logits * scale + bias_h[None]
+                probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
+                o_parts.append(jax.lax.dot_general(
+                    probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).astype(tok.dtype))
+            og = (o_parts[0] if hg == 1
+                  else jnp.concatenate(o_parts, axis=-1))
             out = out + jax.lax.dot_general(
-                o_h.reshape(T * N, D), wo_ref[h],
+                og.reshape(T * N, hg * D), wo_ref[gi],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
         out = out + bo_ref[:].astype(jnp.float32)
@@ -163,8 +175,10 @@ def _pick_tile(Bw, C, itemsize, budget=None):
     if budget is None:
         budget = (6 if itemsize <= 2 else 4) * 2**20
     # dominant: x tile (T,64,C) in/out double-buffered + fp32 out accum
-    # (T*64, C) + fp32 logits/probs (T,64,128-padded)
-    per_win = 64 * max(C, 128) * (2 * itemsize + 4) + 64 * 128 * 4 * 2
+    # (T*64, C) + fp32 logits/probs (T,64,128-padded) + the head-group
+    # q/k/v buffers (T*64, 128) in x dtype
+    per_win = (64 * max(C, 128) * (2 * itemsize + 4) + 64 * 128 * 4 * 2
+               + 64 * 128 * itemsize * 3)
     t = max(min(budget // per_win, 256), 1)
     while Bw % t:
         t -= 1
@@ -239,29 +253,36 @@ def fused_attention_block_ad(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "win", "shift", "H", "W", "scale", "num_heads", "has_ln", "interpret"))
+    "win", "shift", "H", "W", "scale", "num_heads", "has_ln", "interpret",
+    "vmem_mb", "head_group"))
 def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
                           bias, *, win, shift, H, W, scale, num_heads,
-                          has_ln=True, interpret=False):
+                          has_ln=True, interpret=False, vmem_mb=0,
+                          head_group=0):
     """x: (Bw, N, C) pre-LN windows; wq: (C, C); wkv: (C, 2C);
     returns (Bw, N, C)."""
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
-    # pre-split weights per head: qkv (nH, C, D); wo (nH, D, C)
-    wq_h = wq.reshape(C, nH, D).transpose(1, 0, 2)
-    bq_h = bq.reshape(nH, 1, D)  # dummy sublane axis: (1, D) head blocks
-    wk = wkv[:, :C].reshape(C, nH, D).transpose(1, 0, 2)
-    wv = wkv[:, C:].reshape(C, nH, D).transpose(1, 0, 2)
-    bk = bkv[:C].reshape(nH, 1, D)
-    bv = bkv[C:].reshape(nH, 1, D)
-    wo_h = wo.reshape(nH, D, C)
+    # pre-split weights per head GROUP of hg heads (heads are contiguous
+    # lane spans of the projection matrices, so a group slice is a plain
+    # reshape): qkv (nG, C, hg*D); wo (nG, hg*D, C)
+    hg = head_group or min(nH, max(1, 128 // D))
+    nG = nH // hg
+    wq_h = wq.reshape(C, nG, hg * D).transpose(1, 0, 2)
+    bq_h = bq.reshape(nG, 1, hg * D)  # dummy sublane axis
+    wk = wkv[:, :C].reshape(C, nG, hg * D).transpose(1, 0, 2)
+    wv = wkv[:, C:].reshape(C, nG, hg * D).transpose(1, 0, 2)
+    bk = bkv[:C].reshape(nG, 1, hg * D)
+    bv = bkv[C:].reshape(nG, 1, hg * D)
+    wo_h = wo.reshape(nG, hg * D, C)
 
-    T = _pick_tile(Bw, C, x.dtype.itemsize)
+    T = _pick_tile(Bw, C, x.dtype.itemsize,
+                   budget=vmem_mb * 2**20 if vmem_mb else None)
     g = max(1, 128 // N)
     while T % g:
         g -= 1
-    kernel = _make_kernel(T, N, C, nH, D, win, g, float(scale),
+    kernel = _make_kernel(T, N, C, nH, D, win, g, hg, float(scale),
                           mod is not None, has_ln, shift > 0, x.dtype)
     if mod is None:
         mod = jnp.zeros((N, C), x.dtype)
@@ -294,6 +315,9 @@ def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, Bw, N, C), x.dtype),
         interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb * 2.5) * 2**20)
+            if vmem_mb and not interpret else None),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bw * N * C * (4 * C + 2 * N),
             bytes_accessed=2 * Bw * N * C * x.dtype.itemsize,

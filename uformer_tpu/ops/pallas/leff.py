@@ -80,9 +80,19 @@ def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
     return tiles.reshape(xp.shape[0], nT, Th + 2, *xp.shape[2:])
 
 
-def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
-                 residual: bool, out_dtype, chunk_target: int = 1):
+def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
+                 has_ln: bool, residual: bool, out_dtype,
+                 conv_f32: bool = True, chunk_target: int = 1, p: int = 1):
+    """p > 1 = pixel-packed mode: W/C/Ch are the PACKED dims (W = true_W/p
+    packed columns, C = p*true_C lanes, Ch = p*true_Ch lanes; weights
+    arrive kron/tile-expanded). Narrow true_C stages (32/64) DMA 10-30x
+    slower than 128-lane rows (measured: a copy-only kernel on
+    (8,256,256,32) costs 1.66 ms vs 0.055 ms packed) — packing keeps every
+    HBM row and every VPU/MXU op at full 128 lanes."""
     cheap = out_dtype == jnp.bfloat16
+    acc_dtype = jnp.float32 if conv_f32 else out_dtype
+    cq = C // p   # true per-pixel channel width
+    chq = Ch // p
 
     # Row-chunked pipeline: the LeFF chain (matmul -> GELU -> 9-tap conv ->
     # GELU -> matmul) is a strict MXU->VPU->VPU->MXU dependency per tile,
@@ -124,39 +134,95 @@ def _make_kernel(Th: int, H: int, W: int, C: int, Ch: int, has_ln: bool,
         # phase A: hidden = gelu(x @ w1 + b1), chunked over rows
         for r0, rows_a in _row_chunks(Th + 2):
             tok = xt[r0:r0 + rows_a].reshape(rows_a * (W + 2), C)
-            if has_ln:
+            if has_ln and p == 1:
                 tf = tok.astype(jnp.float32)
                 mu = tf.mean(-1, keepdims=True)
                 var = tf.var(-1, keepdims=True)
                 tf = (tf - mu) * jax.lax.rsqrt(var + 1e-5)
                 tok = (tf * ln_s_ref[:].astype(jnp.float32)
                        + ln_b_ref[:].astype(jnp.float32)).astype(xt.dtype)
+            elif has_ln:
+                # packed: per-pixel LN via an MXU pass — lane reductions
+                # cannot cross the cq-lane slot groups, but tok @ Mmat
+                # (block-diagonal 1/cq) lands each pixel's mean broadcast
+                # into its own lanes, fp32-accumulated. Variance from the
+                # CENTERED square (no mu^2 cancellation). Measured: the
+                # lane-slice LN this replaces cost ~1.8 ms/stage at 256².
+                li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+                lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+                mmat = jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0) \
+                    .astype(xt.dtype)
+                mu = jax.lax.dot_general(
+                    tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                cen = tok.astype(jnp.float32) - mu
+                cb = cen.astype(xt.dtype)
+                var = jax.lax.dot_general(
+                    cb * cb, mmat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                tok = (cen * jax.lax.rsqrt(var + 1e-5)
+                       * ln_s_ref[:].astype(jnp.float32)
+                       + ln_b_ref[:].astype(jnp.float32)).astype(xt.dtype)
             h = jax.lax.dot_general(
                 tok, w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             h = _gelu(h + b1_ref[:].astype(jnp.float32), cheap=cheap)
-            h = h.reshape(rows_a, W + 2, Ch)
-            # zero the conv padding ring: the reference zero-pads *after*
-            # linear1+GELU, where gelu(b1) != 0 would otherwise leak in.
-            # fp32 mask multiply (Mosaic minor-dim insert needs 32-bit).
-            row = (jax.lax.broadcasted_iota(jnp.int32, (rows_a, W + 2), 0)
-                   + t * Th + r0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (rows_a, W + 2), 1)
-            valid = ((row > 0) & (row < H + 1) & (col > 0) & (col < W + 1)
-                     ).astype(jnp.float32)
-            hid_ref[r0:r0 + rows_a] = (h * valid[:, :, None]).astype(xt.dtype)
+            hid_ref[r0:r0 + rows_a] = h.reshape(rows_a, W + 2, Ch) \
+                .astype(xt.dtype)
+
+        # zero the conv padding ring with targeted writes (the reference
+        # zero-pads *after* linear1+GELU, where gelu(b1) != 0 would
+        # otherwise leak in). Replaces a full-tensor iota mask multiply —
+        # the ring is O(edge), the mask was O(everything).
+        zrow = jnp.zeros((1, W + 2, Ch), xt.dtype)
+        hid_ref[:, 0:1, :] = jnp.zeros((Th + 2, 1, Ch), xt.dtype)
+        hid_ref[:, W + 1:W + 2, :] = jnp.zeros((Th + 2, 1, Ch), xt.dtype)
+
+        @pl.when(t == 0)
+        def _zero_top():
+            hid_ref[0:1] = zrow
+
+        n_bot = Hp - H + 1  # image-bottom halo row + any 8-alignment pad
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _zero_bottom():
+            hid_ref[Th + 2 - n_bot:Th + 2] = jnp.zeros(
+                (n_bot, W + 2, Ch), xt.dtype)
 
         # phase B: out = gelu(dwconv3x3(hidden)) @ w2 + b2, chunked over
         # rows (the +-1-row conv halo reads the shared hidden scratch)
+        if p > 1:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
+            first_slot = lane < chq            # pixel slot 0 of its column
+            last_slot = lane >= (p - 1) * chq  # pixel slot p-1
         for r0, rows_b in _row_chunks(Th):
-            acc = jnp.zeros((rows_b, W, Ch), jnp.float32)
+            acc = jnp.zeros((rows_b, W, Ch), acc_dtype)
             for dy in range(3):
-                for dx in range(3):
-                    tap = hid_ref[r0 + dy:r0 + dy + rows_b, dx:dx + W, :]
-                    acc += tap.astype(jnp.float32) * \
-                        wd_ref[dy, dx, :].astype(jnp.float32)
-            acc = _gelu(acc + bd_ref[:].astype(jnp.float32), cheap=cheap)
+                if p == 1:
+                    for dx in range(3):
+                        tap = hid_ref[r0 + dy:r0 + dy + rows_b,
+                                      dx:dx + W, :]
+                        acc += tap.astype(acc_dtype) * \
+                            wd_ref[dy, dx, :].astype(acc_dtype)
+                    continue
+                # packed: the x-neighbour pixel lives one chq-lane slot
+                # over; a +-chq lane roll is whole-register renaming when
+                # chq is a multiple of 128. Slot 0/p-1 wrap into the
+                # adjacent packed column, fixed by the shifted col slice.
+                hs = hid_ref[r0 + dy:r0 + dy + rows_b]  # (rows, W+2, Ch)
+                ctr = hs[:, 1:W + 1]
+                A = jnp.roll(hs, chq, axis=2)
+                left = jnp.where(first_slot, A[:, 0:W], A[:, 1:W + 1])
+                Bv = jnp.roll(hs, -chq, axis=2)
+                right = jnp.where(last_slot, Bv[:, 2:W + 2], Bv[:, 1:W + 1])
+                acc += left.astype(acc_dtype) * \
+                    wd_ref[dy, 0, :].astype(acc_dtype)
+                acc += ctr.astype(acc_dtype) * \
+                    wd_ref[dy, 1, :].astype(acc_dtype)
+                acc += right.astype(acc_dtype) * \
+                    wd_ref[dy, 2, :].astype(acc_dtype)
+            acc = _gelu(acc + bd_ref[:].astype(acc_dtype), cheap=cheap)
             out = jax.lax.dot_general(
                 acc.astype(xt.dtype).reshape(rows_b * W, Ch), w2_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -255,10 +321,12 @@ def fused_leff_ad(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None,
 
 
 @functools.partial(jax.jit, static_argnames=("residual", "interpret",
-                                              "chunk_target"))
+                                              "chunk_target", "conv_f32",
+                                              "vmem_mb"))
 def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
                residual: bool = False, interpret: bool = False,
-               chunk_target: int = 1):
+               chunk_target: int = 1, conv_f32: bool = True,
+               vmem_mb: int = 0):
     """x: (B, H, W, C); returns (B, H, W, C). SAME-padded 3x3 depthwise.
     Optional ln_s/ln_b fold a preceding per-token LayerNorm in;
     residual=True returns x + LeFF(LN(x)) — the whole sub-block in one
@@ -269,16 +337,41 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
     if ln_s is None:
         ln_s = jnp.ones((C,), jnp.float32)
         ln_b = jnp.zeros((C,), jnp.float32)
+
+    # pixel packing for narrow-channel stages: view (B,H,W,C) as
+    # (B,H,W/p,p*C) (a free reshape — W and C are HBM-adjacent) so every
+    # DMA row is 128 lanes; weights expand to block-diagonal (kron) /
+    # lane-tiled forms. See _make_kernel docstring for the measured 10-30x
+    # narrow-DMA penalty this removes.
+    p = 1
+    if C < 128 and 128 % C == 0:
+        cand = 128 // C
+        if W % cand == 0 and W // cand >= 2:
+            p = cand
+    if p > 1:
+        eye = jnp.eye(p, dtype=w1.dtype)
+        w1 = jnp.kron(eye, w1)
+        w2 = jnp.kron(eye.astype(w2.dtype), w2)
+        b1 = jnp.tile(b1, p)
+        b2 = jnp.tile(b2, p)
+        wd = jnp.tile(wd, (1, 1, p))
+        bd = jnp.tile(bd, p)
+        ln_s = jnp.tile(ln_s, p)
+        ln_b = jnp.tile(ln_b, p)
+        x = x.reshape(B, H, W // p, p * C)
+        W, C, Ch = W // p, p * C, p * Ch
+
     H0 = H
     if H % 8:  # odd sizes (tests, non-window models): pad rows, crop after
         Hp = (H + 7) // 8 * 8
         x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
         H = Hp
-    Th = _pick_th(H, W, Ch, x.dtype.itemsize, C=C)
+    budget = (vmem_mb * 2**20) if vmem_mb else None
+    Th = _pick_th(H, W, Ch, x.dtype.itemsize, budget=budget, C=C)
     nT = H // Th
     nB8 = H // 8
-    kernel = _make_kernel(Th, H0, W, C, Ch, has_ln, residual, x.dtype,
-                          chunk_target=chunk_target)
+    kernel = _make_kernel(Th, H0, H, W, C, Ch, has_ln, residual, x.dtype,
+                          conv_f32=conv_f32, chunk_target=chunk_target, p=p)
     k8 = Th // 8
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -306,10 +399,17 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
         scratch_shapes=[pltpu.VMEM((Th + 2, W + 2, Ch), x.dtype)],
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb * 2.5) * 2**20)
+            if vmem_mb and not interpret else None),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * Ch * (2 * C + 9),
             bytes_accessed=3 * B * H * W * C * x.dtype.itemsize,
             transcendentals=2 * B * H * W * Ch,
         ),
     )(x, x, x, ln_s, ln_b, w1, b1, wd, bd, w2, b2)
-    return out[:, :H0] if H != H0 else out
+    if H != H0:
+        out = out[:, :H0]
+    if p > 1:
+        out = out.reshape(B, H0, W * p, C // p)
+    return out
