@@ -364,13 +364,19 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_kv=None, mask=None, deterministic: bool = True,
-                 geometry=None, modulator=None, ln_params=None):
+                 geometry=None, modulator=None, ln_params=None,
+                 image_mode: bool = False):
         """geometry: optional static (H, W, shift) enabling the fused Pallas
         kernels with the SW-MSA shift mask computed inline (mask must then
         be None — user input-masks take the unfused path). `modulator` is
         the learned per-window embedding added to the attention input
-        (reference model.py:966-969), folded into the fused kernel."""
-        Bw, N, C = x.shape
+        (reference model.py:966-969), folded into the fused kernel.
+
+        image_mode: x is the raw (B, H, W, C) block input; the whole
+        LN -> shift -> partition -> attention -> reverse -> unshift ->
+        residual sub-block runs as ONE image-layout Pallas kernel
+        (ops.pallas.attention_image) and the RESIDUAL-ADDED image is
+        returned. Caller guarantees win == 8 and a lane-aligned C."""
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
         wh, ww = self.win_size
@@ -381,6 +387,31 @@ class WindowAttention(nn.Module):
             ((2 * wh - 1) * (2 * ww - 1), self.num_heads),
         )
         bias = gather_bias(table.astype(jnp.float32), wh, ww)  # (nH, N, N)
+
+        if image_mode:
+            from uformer_tpu.ops.pallas.attention_image import (
+                fused_attention_image_ad)
+
+            H, W, shift = geometry
+            wq, bq, wkv, bkv = _LinearQKVParams(
+                self.dim, self.num_heads * head_dim, self.qkv_bias,
+                name="qkv")()
+            wo, bo = _DenseParams(self.dim, self.dim, True, name="proj")()
+            zeros = lambda n: jnp.zeros((n,), x.dtype)  # noqa: E731
+            ln_s, ln_b = (ln_params if ln_params is not None
+                          else (None, None))
+            return fused_attention_image_ad(
+                x, modulator, ln_s, ln_b,
+                wq.astype(x.dtype), bq if bq is not None else zeros(self.dim),
+                wkv.astype(x.dtype),
+                bkv if bkv is not None else zeros(2 * self.dim),
+                wo.astype(x.dtype), bo,
+                bias, win=wh, shift=shift, scale=float(scale),
+                num_heads=self.num_heads, has_ln=ln_params is not None,
+                residual=True,
+                interpret=jax.default_backend() != "tpu")
+
+        Bw, N, C = x.shape
 
         from uformer_tpu.ops.attention import resolve_backend
 
@@ -596,21 +627,6 @@ class LeWinBlock(nn.Module):
             )(xt, cross_mod.astype(self.dtype), deterministic=deterministic)
             x = shortcut + xc.reshape(B, H, W, C)
 
-        shortcut = x
-        # LN folding into the kernels measured slower than XLA's standalone
-        # LN (lane-padded fp32 in-kernel LN + smaller tiles outweigh the
-        # saved pass) — disabled; the kernels keep the capability (tested)
-        # for future packed layouts.
-        defer_ln1 = False and fused and self.token_projection == "linear" \
-            and not (self.attn_drop > 0.0 and not deterministic)
-        if defer_ln1:
-            ln1 = _LNParams(self.dim, name="norm1")()
-        else:
-            ln1 = None
-            x = _norm("norm1", self.dtype)(x)
-        x = cyclic_shift(x, shift)
-        x_windows = window_partition(x, win)  # (B*nW, N, C)
-
         mod = None
         if self.modulator:
             mod = self.param(
@@ -618,20 +634,53 @@ class LeWinBlock(nn.Module):
                 (win * win, self.dim),
             )
 
-        attn_out = WindowAttention(
-            dim=self.dim, win_size=(win, win), num_heads=self.num_heads,
-            token_projection=self.token_projection, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, attn_drop=self.attn_drop,
-            proj_drop=self.drop, backend=self.attn_backend, dtype=self.dtype,
-            name="attn",
-        )(x_windows, mask=attn_mask, deterministic=deterministic,
-          geometry=geometry, modulator=mod, ln_params=ln1)
+        # Image-layout fused sub-block (eval path): LN1 + cyclic shift +
+        # partition + attention + reverse + unshift + residual in ONE
+        # kernel — the XLA glue between them never touches HBM. Lane
+        # alignment (C % 128) keeps every in-kernel reshape layout-free;
+        # narrower stages stay on the windowed kernel below.
+        use_image = (fused and deterministic and win == 8
+                     and self.dim % 128 == 0)
+        if use_image:
+            ln1 = _LNParams(self.dim, name="norm1")()
+            x = WindowAttention(
+                dim=self.dim, win_size=(win, win), num_heads=self.num_heads,
+                token_projection=self.token_projection,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                attn_drop=self.attn_drop, proj_drop=self.drop,
+                backend=self.attn_backend, dtype=self.dtype, name="attn",
+            )(x, deterministic=True, geometry=(H, W, shift), modulator=mod,
+              ln_params=ln1, image_mode=True)
+        else:
+            shortcut = x
+            # LN folding into the windowed kernel measured slower than
+            # XLA's standalone LN (lane-padded fp32 in-kernel LN + smaller
+            # tiles outweigh the saved pass) — disabled; the kernel keeps
+            # the capability (tested).
+            defer_ln1 = False and fused and self.token_projection == "linear" \
+                and not (self.attn_drop > 0.0 and not deterministic)
+            if defer_ln1:
+                ln1 = _LNParams(self.dim, name="norm1")()
+            else:
+                ln1 = None
+                x = _norm("norm1", self.dtype)(x)
+            x = cyclic_shift(x, shift)
+            x_windows = window_partition(x, win)  # (B*nW, N, C)
 
-        x = window_reverse(attn_out, win, H, W)
-        x = cyclic_unshift(x, shift)
+            attn_out = WindowAttention(
+                dim=self.dim, win_size=(win, win), num_heads=self.num_heads,
+                token_projection=self.token_projection,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                attn_drop=self.attn_drop, proj_drop=self.drop,
+                backend=self.attn_backend, dtype=self.dtype, name="attn",
+            )(x_windows, mask=attn_mask, deterministic=deterministic,
+              geometry=geometry, modulator=mod, ln_params=ln1)
 
-        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
-            x, deterministic=deterministic)
+            x = window_reverse(attn_out, win, H, W)
+            x = cyclic_unshift(x, shift)
+
+            x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+                x, deterministic=deterministic)
 
         # At eval (deterministic: DropPath/Dropout are identity) the whole
         # LN2 -> LeFF -> residual sub-block folds into the fused kernel —

@@ -1,0 +1,377 @@
+"""Image-layout fused window attention: the whole LeWin attention sub-block
+(LN -> cyclic shift -> window partition -> modulator -> W-MSA/SW-MSA ->
+output projection -> window reverse -> unshift -> residual add) in ONE
+Pallas kernel that reads and writes the (B, H, W, C) image directly.
+
+Covers reference `model.py:941-975` (LeWinTransformerBlock.forward through
+`x = shortcut + self.drop_path(attn_windows...)`) for the deterministic
+path, and the same WindowAttention math as
+`uformer_tpu.ops.pallas.attention_block` (model.py:494-522).
+
+Why image layout (vs the windowed kernel in attention_block.py):
+  * The XLA glue this replaces — LayerNorm pass, two jnp.roll, window
+    partition/reverse copies, residual add — is pure HBM traffic, ~14 ms
+    of a 50 ms Uformer_B forward at 256². Here it all happens on
+    VMEM-resident tiles.
+  * On TPU the (R, W, C) tile keeps (W, C) as the tiled (sublane, lane)
+    pair and rows as the untiled outer dim, so EVERY restructuring step is
+    layout-free register renaming for C a lane multiple:
+      - halo/row concat and per-window-row slicing: outer dim
+      - window partition (8, W, C) -> (W/8, 64, C): sublane split at vreg
+        granularity + outer transpose + outer/sublane merge
+      - cyclic shift: row shift is outer indexing; the W shift is a single
+        hardware sublane rotate (jnp.roll axis=1)
+    The lane dim is never touched, so this path requires C % 128 == 0
+    (narrow C would force an unsupported lane<->sublane relayout;
+    those stages keep the windowed kernel).
+  * SW-MSA: each tile recomputes one halo window-row ((R/8+1)/(R/8)
+    overhead) so its OUTPUT block stays aligned to image rows — the
+    shift never materializes anywhere.
+
+Weights arrive pre-split per head GROUP of hg = 128//D heads exactly as in
+attention_block.py (full-lane MXU projections).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from uformer_tpu.ops.pallas.attention_block import _region_ids
+
+
+def _winchain(rows8, W, C):
+    """(8, W, C) -> (W/8, 64, C): batch of this window-row's windows.
+    Free on TPU: sublane split at 8-granularity, outer transpose, merge."""
+    W8 = W // 8
+    y = rows8.reshape(8, W8, 8, C).transpose(1, 0, 2, 3)
+    return y.reshape(W8, 64, C)
+
+
+def _winchain_inv(wins, W, C):
+    """(W/8, 64, C) -> (8, W, C). Inverse of :func:`_winchain`."""
+    W8 = W // 8
+    y = wins.reshape(W8, 8, 8, C).transpose(1, 0, 2, 3)
+    return y.reshape(8, W, C)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel(R, H, W, C, nH, D, hg, g, scale, shift, has_mod, has_ln,
+                 residual, out_dtype):
+    """One kernel per static geometry. R rows per tile (R % 8 == 0, R | H).
+    shift > 0 processes R/8 + 1 window-rows per tile (one halo row)."""
+    s = shift
+    kR = R // 8
+    nB8 = H // 8
+    W8 = W // 8
+    nK = kR + (1 if s else 0)
+    T = nK * W8          # windows per tile
+    P = g * 64           # tokens per paired-window group
+    nG = nH // hg
+
+    def attn_core(t, tok, mod_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                  bv_ref, wo_ref, bo_ref, bias_ref):
+        """tok: (T*64, C) post-LN tokens -> (T*64, C) projected output."""
+        if has_mod:
+            tok = (tok.reshape(T, 64, C)
+                   + mod_ref[:][None].astype(tok.dtype)).reshape(T * 64, C)
+        prec = (jax.lax.Precision.HIGHEST
+                if tok.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+        # additive mask: local window id isolates paired windows; for
+        # SW-MSA the shift regions fold into the same region id
+        # (reference model.py:922-940 as index arithmetic)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
+        wloc = rows * g + cols // 64
+        if s:
+            n_off = cols % 64
+            k_idx = wloc // W8
+            j_idx = wloc - k_idx * W8
+            gwr = jax.lax.rem(t * kR - 1 + k_idx + nB8, nB8)
+            rh = _region_ids(8, s, H, gwr, n_off // 8)
+            rw = _region_ids(8, s, W, j_idx, n_off % 8)
+            rid = wloc * 9 + rh * 3 + rw
+        else:
+            rid = wloc
+        if s or g > 1:
+            neq = (rid[:, :, None] != rid[:, None, :]).astype(jnp.float32)
+            smask = neq * jnp.float32(-100.0)
+        else:
+            smask = None
+
+        out = jnp.zeros((T * 64, C), jnp.float32)
+        for gi in range(nG):
+            def proj(w_ref, b_ref):
+                y = jax.lax.dot_general(
+                    tok, w_ref[gi],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                return (y + b_ref[gi, 0].astype(jnp.float32)) \
+                    .astype(tok.dtype)
+
+            qg = proj(wq_ref, bq_ref)  # (T*64, hg*D)
+            kg = proj(wk_ref, bk_ref)
+            vg = proj(wv_ref, bv_ref)
+            o_parts = []
+            for hh in range(hg):
+                h = gi * hg + hh
+                sl = slice(hh * D, (hh + 1) * D)
+                q = qg[:, sl].reshape(T // g, P, D)
+                k = kg[:, sl].reshape(T // g, P, D)
+                v = vg[:, sl].reshape(T // g, P, D)
+                bias_h = bias_ref[h]  # (64, 64) fp32
+                if g > 1:
+                    bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                    bias_h = jnp.concatenate([bias_h] * g, axis=-2)
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec)
+                logits = logits * scale + bias_h[None]
+                if smask is not None:
+                    logits = logits + smask
+                probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
+                o_parts.append(jax.lax.dot_general(
+                    probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).astype(tok.dtype))
+            og = (o_parts[0] if hg == 1
+                  else jnp.concatenate(o_parts, axis=-1))
+            out = out + jax.lax.dot_general(
+                og.reshape(T * 64, hg * D), wo_ref[gi],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        return out + bo_ref[:].astype(jnp.float32)
+
+    def kernel(*refs):
+        if s:
+            (xm_ref, xa_ref, xb_ref, mod_ref, ln_s_ref, ln_b_ref,
+             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+             wo_ref, bo_ref, bias_ref, o_ref) = refs
+        else:
+            (xm_ref, mod_ref, ln_s_ref, ln_b_ref,
+             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+             wo_ref, bo_ref, bias_ref, o_ref) = refs
+        t = pl.program_id(1)
+        xm = xm_ref[0]
+        if s:
+            # halo rows + cyclic shift: rows via outer-dim assembly, the
+            # W axis via one hardware sublane rotate
+            slab = jnp.concatenate([xa_ref[0], xm, xb_ref[0]], axis=0)
+            slab = jnp.roll(slab, -s, axis=1)
+        else:
+            slab = xm
+        if has_ln:
+            sf = slab.astype(jnp.float32)
+            mu = sf.mean(-1, keepdims=True)
+            var = sf.var(-1, keepdims=True)
+            slab = ((sf - mu) * jax.lax.rsqrt(var + 1e-5)
+                    * ln_s_ref[:].astype(jnp.float32)
+                    + ln_b_ref[:].astype(jnp.float32)).astype(slab.dtype)
+
+        # partition all of this tile's window-rows (free reshapes)
+        tok = jnp.concatenate(
+            [_winchain(slab[8 * k + s:8 * k + s + 8], W, C)
+             for k in range(nK)], axis=0).reshape(T * 64, C)
+
+        out = attn_core(t, tok, mod_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                        wv_ref, bv_ref, wo_ref, bo_ref, bias_ref)
+        out = out.astype(xm.dtype).reshape(T, 64, C)
+
+        # reverse: windows -> image rows, keeping each tile's aligned span
+        rows_k = [_winchain_inv(out[k * W8:(k + 1) * W8], W, C)
+                  for k in range(nK)]
+        if s:
+            body = [rows_k[0][8 - s:]] + rows_k[1:kR] + [rows_k[kR][:8 - s]]
+            res = jnp.concatenate(body, axis=0)
+            res = jnp.roll(res, s, axis=1)  # un-shift W
+        else:
+            res = jnp.concatenate(rows_k, axis=0) if nK > 1 else rows_k[0]
+        if residual:
+            res = xm + res
+        o_ref[0] = res
+
+    return kernel
+
+
+def _pick_rows(H, W, C, itemsize, budget=None):
+    """Rows per tile: slab + token/qkv/logit temps under budget."""
+    if budget is None:
+        budget = 8 * 2**20
+    W8 = W // 8
+    # per window-row: slab rows (8, W, C) + tok/q/k/v (W8*64, C|128) +
+    # fp32 logits/probs/mask (~3x (W8*32, 128))
+    per_k = (8 * W * C * (2 * itemsize + 4)
+             + W8 * 64 * (C * 4 + max(C, 128) * 3 * itemsize)
+             + 3 * W8 * 64 * 64 * 4)
+    r = max((budget // per_k) * 8, 8)
+    r = min(r, H, 64)
+    while H % r:
+        r -= 8
+    return max(r, 8)
+
+
+def attention_image_reference(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
+                              bias, *, win, shift, scale, num_heads,
+                              has_ln=True, residual=True):
+    """jnp reference: LN -> shift -> partition -> attention block ->
+    reverse -> unshift -> (+x). Used by tests and the custom-vjp backward."""
+    from uformer_tpu.ops.pallas.attention_block import (
+        attention_block_reference,
+    )
+    from uformer_tpu.ops.window import (
+        cyclic_shift,
+        cyclic_unshift,
+        window_partition,
+        window_reverse,
+    )
+
+    B, H, W, C = x.shape
+    y = x
+    if has_ln:
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+             * ln_s.astype(jnp.float32)
+             + ln_b.astype(jnp.float32)).astype(x.dtype)
+    y = cyclic_shift(y, shift)
+    wnd = window_partition(y, win)
+    if mod is None:
+        mod = jnp.zeros((win * win, C), x.dtype)
+    out = attention_block_reference(
+        wnd, mod, None, None, wq, bq, wkv, bkv, wo, bo, bias,
+        win=win, shift=shift, H=H, W=W, scale=scale, num_heads=num_heads,
+        has_ln=False)
+    out = cyclic_unshift(window_reverse(out, win, H, W), shift)
+    return (x + out.astype(x.dtype)) if residual else out.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _ad_factory(win, shift, scale, num_heads, has_ln, residual, interpret):
+    kw = dict(win=win, shift=shift, scale=scale, num_heads=num_heads)
+
+    @jax.custom_vjp
+    def f(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias):
+        return fused_attention_image(x, mod, ln_s, ln_b, wq, bq, wkv, bkv,
+                                     wo, bo, bias, has_ln=has_ln,
+                                     residual=residual, interpret=interpret,
+                                     **kw)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: attention_image_reference(
+                *a, has_ln=has_ln, residual=residual, **kw),
+            *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_attention_image_ad(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
+                             bias, *, win, shift, scale, num_heads,
+                             has_ln=True, residual=True, interpret=False):
+    """Differentiable wrapper: Pallas forward, reference-jnp VJP."""
+    f = _ad_factory(win, shift, float(scale), num_heads, has_ln, residual,
+                    interpret)
+    if mod is None:
+        mod = jnp.zeros((win * win, x.shape[-1]), x.dtype)
+    if ln_s is None:
+        ln_s = jnp.ones((x.shape[-1],), jnp.float32)
+        ln_b = jnp.zeros((x.shape[-1],), jnp.float32)
+    return f(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "win", "shift", "scale", "num_heads", "has_ln", "residual", "interpret",
+    "vmem_mb"))
+def fused_attention_image(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
+                          bias, *, win, shift, scale, num_heads,
+                          has_ln=True, residual=True, interpret=False,
+                          vmem_mb=0):
+    """x: (B, H, W, C) raw block input; returns (B, H, W, C).
+
+    residual=True returns x + Attn(LN(x)); False returns just the
+    attention output (image layout, un-shifted). Requires win == 8,
+    H % 8 == W % 8 == 0. Efficient for C % 128 == 0 (lane-aligned);
+    other C compile but pay narrow-lane DMA costs.
+    """
+    B, H, W, C = x.shape
+    if win != 8:
+        raise ValueError(f"image-layout kernel supports win=8, got {win}")
+    if H % 8 or W % 8:
+        raise ValueError(f"H={H}, W={W} must be multiples of 8")
+    nH = num_heads
+    D = C // nH
+    hg = min(nH, max(1, 128 // D))
+    nG = nH // hg
+    wq_h = wq.reshape(C, nG, hg * D).transpose(1, 0, 2)
+    bq_h = bq.reshape(nG, 1, hg * D)
+    wk = wkv[:, :C].reshape(C, nG, hg * D).transpose(1, 0, 2)
+    wv = wkv[:, C:].reshape(C, nG, hg * D).transpose(1, 0, 2)
+    bk = bkv[:C].reshape(nG, 1, hg * D)
+    bv = bkv[C:].reshape(nG, 1, hg * D)
+    wo_h = wo.reshape(nG, hg * D, C)
+    has_mod = mod is not None
+    if mod is None:
+        mod = jnp.zeros((64, C), x.dtype)
+    if ln_s is None:
+        ln_s = jnp.ones((C,), jnp.float32)
+        ln_b = jnp.zeros((C,), jnp.float32)
+
+    R = _pick_rows(H, W, C, x.dtype.itemsize,
+                   budget=vmem_mb * 2**20 if vmem_mb else None)
+    kR = R // 8
+    nB8 = H // 8
+    W8 = W // 8
+    nK = kR + (1 if shift else 0)
+    T = nK * W8
+    g = 2 if T % 2 == 0 else 1
+    kernel = _make_kernel(R, H, W, C, nH, D, hg, g, float(scale), shift,
+                          has_mod, has_ln, residual, x.dtype)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xm_spec = pl.BlockSpec((1, R, W, C), lambda b, t: (b, t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    halo_specs = [
+        pl.BlockSpec((1, 8, W, C),
+                     lambda b, t: (b, jax.lax.rem(t * kR - 1 + nB8, nB8),
+                                   0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, W, C),
+                     lambda b, t: (b, jax.lax.rem(t * kR + kR, nB8), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] if shift else []
+    in_specs = [xm_spec] + halo_specs + [
+        vmem, vmem, vmem,            # mod, ln_s, ln_b
+        vmem, vmem, vmem, vmem,      # wq, bq, wk, bk
+        vmem, vmem, vmem, vmem,      # wv, bv, wo, bo
+        vmem,                        # bias
+    ]
+    halo_args = (x, x) if shift else ()
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // R),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, R, W, C), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb * 2.5) * 2**20)
+            if vmem_mb and not interpret else None),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * (4 * C + 2 * 64),
+            bytes_accessed=2 * B * H * W * C * x.dtype.itemsize,
+            transcendentals=B * H * W * nH,
+        ),
+    )(x, *halo_args, mod, ln_s, ln_b, wq_h, bq_h, wk, bk, wv, bv, wo_h, bo,
+      bias.astype(jnp.float32))
