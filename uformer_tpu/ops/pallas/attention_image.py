@@ -314,6 +314,12 @@ def fused_attention_image(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
         raise ValueError(f"image-layout kernel supports win=8, got {win}")
     if H % 8 or W % 8:
         raise ValueError(f"H={H}, W={W} must be multiples of 8")
+    if C % 128 and not interpret:
+        # Narrow-C kernels send Mosaic's layout inference into a
+        # pathological compile (observed: >9 min, wedging the device);
+        # the model routes those stages to the windowed kernel instead.
+        raise ValueError(
+            f"image-layout kernel requires C % 128 == 0 on TPU, got C={C}")
     nH = num_heads
     D = C // nH
     hg = min(nH, max(1, 128 // D))
