@@ -118,16 +118,20 @@ def bench_train():
     params = init_params_fast(model, x)
     tx = make_optimizer(warmup_cosine_schedule(2e-4, 250, 1000, 3))
     state = TrainState.create(params, tx)
+    # donate the state (as the Trainer does): buffer reuse removes a full
+    # params+moments copy per step
     step = jax.jit(make_train_step(model, mixup_after_epoch=5,
-                                   steps_per_epoch=1000))
+                                   steps_per_epoch=1000), donate_argnums=0)
     key = jax.random.PRNGKey(0)
+    state, _ = step(state, {"input": x, "target": x}, key)
 
     def chained(n):
+        nonlocal state
         t0 = time.perf_counter()
-        s, z = state, x
+        z = x
         for i in range(n):
             # chain via the loss -> input dependency to defeat lazy fetch
-            s, loss = step(s, {"input": z, "target": x}, key)
+            state, loss = step(state, {"input": z, "target": x}, key)
             z = x + 0.0 * loss
         _ = float(z[0, 0, 0, 0])
         return time.perf_counter() - t0

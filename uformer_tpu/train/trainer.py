@@ -93,9 +93,13 @@ class Trainer:
         self.tx = make_optimizer(sched, weight_decay=opt.weight_decay,
                                  grad_clip=opt.grad_clip)
         mixup_after = 5 if opt.mode == "denoising" else None
+        # donate the TrainState: params + both Adam moments are rebuilt
+        # every step, so reusing their buffers removes a full state copy
+        # (~600 MB at Uformer_B) — measured 346 -> 299 ms/step at the
+        # reference denoise recipe (bs32, ps128)
         self.train_step = jax.jit(make_train_step(
             self.model, mixup_after_epoch=mixup_after,
-            steps_per_epoch=steps_per_epoch))
+            steps_per_epoch=steps_per_epoch), donate_argnums=0)
         self.eval_step = jax.jit(make_eval_step(self.model))
         self.sched = sched
         self.steps_per_epoch = steps_per_epoch
