@@ -82,6 +82,47 @@ def functools_partial_jit(f):
     return jax.jit(f, static_argnums=2)
 
 
+def bench_attn_image(B):
+    """Image-layout sub-block kernel (the path the model actually runs for
+    C % 128 == 0 stages): includes LN + shift + partition + residual."""
+    import jax.numpy as jnp
+
+    from uformer_tpu.ops.pallas.attention_image import fused_attention_image
+
+    win = 8
+    rows = []
+    for name, reso, C, nH, depth in STAGES:
+        if C % 128:
+            continue
+        D = C // nH
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(B, reso, reso, C)).astype(np.float32)
+                        * 0.3, jnp.bfloat16)
+        r = lambda *s: jnp.asarray(  # noqa: E731
+            rng.normal(size=s).astype(np.float32) * 0.05, jnp.bfloat16)
+        ws = (r(64, C), jnp.ones((C,), jnp.float32),
+              jnp.zeros((C,), jnp.float32),
+              r(C, C), jnp.zeros((C,), jnp.bfloat16), r(C, 2 * C),
+              jnp.zeros((2 * C,), jnp.bfloat16), r(C, C),
+              jnp.zeros((C,), jnp.bfloat16),
+              jnp.asarray(rng.normal(size=(nH, 64, 64)).astype(np.float32)))
+        for shift in (0, win // 2):
+            def call(z, ws, shift=shift):
+                mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias = ws
+                return fused_attention_image(
+                    z, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias,
+                    win=win, shift=shift, scale=D ** -0.5, num_heads=nH,
+                    has_ln=True, residual=True)
+            t = measure(call, x, ws)
+            flops = B * reso * reso * (8 * C * C + 4 * 128 * C)
+            floor = flops / PEAK
+            row = (f"attnimg {name} s{shift}", t * 1e3, depth,
+                   floor * 1e3, t / floor)
+            print(ROWFMT.format(*row), flush=True)
+            rows.append(row)
+    return rows
+
+
 def bench_attn(B):
     import jax.numpy as jnp
 
@@ -156,13 +197,15 @@ def bench_leff(B):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--kernel", choices=["attn", "leff", "all"],
+    ap.add_argument("--kernel", choices=["attn", "attnimg", "leff", "all"],
                     default="all")
     args = ap.parse_args()
 
     rows = []
     if args.kernel in ("leff", "all"):
         rows += bench_leff(args.batch)
+    if args.kernel in ("attnimg", "all"):
+        rows += bench_attn_image(args.batch)
     if args.kernel in ("attn", "all"):
         rows += bench_attn(args.batch)
 
