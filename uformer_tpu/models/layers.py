@@ -162,15 +162,19 @@ class LeFF(nn.Module):
         # the fused kernel can absorb the residual only if eca doesn't sit
         # between the LeFF output and the add
         k_res = residual and not self.use_eca
-        if backend == "pallas" and (self.drop == 0.0 or deterministic) \
-                and jax.default_backend() == "tpu":
+        # Active dropout always takes the jnp branch (the fused kernel has
+        # no dropout); without this, drop>0 training would silently skip
+        # dropout AND run the kernel in interpret mode on TPU.
+        use_fused = backend == "pallas" and (self.drop == 0.0
+                                             or deterministic)
+        if use_fused and jax.default_backend() == "tpu":
             from uformer_tpu.ops.pallas.leff import fused_leff_ad
 
             out = fused_leff_ad(
                 x, w1.astype(x.dtype), b1, wd.astype(x.dtype), bd,
                 w2.astype(x.dtype), b2, ln_s=ln_s, ln_b=ln_b,
                 residual=k_res)
-        elif backend == "pallas":
+        elif use_fused:
             from uformer_tpu.ops.pallas.leff import fused_leff
 
             out = fused_leff(

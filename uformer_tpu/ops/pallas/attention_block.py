@@ -266,8 +266,11 @@ def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
     D = C // nH
     # pre-split weights per head GROUP of hg heads (heads are contiguous
     # lane spans of the projection matrices, so a group slice is a plain
-    # reshape): qkv (nG, C, hg*D); wo (nG, hg*D, C)
+    # reshape): qkv (nG, C, hg*D); wo (nG, hg*D, C). hg must divide nH —
+    # fall back to the largest divisor <= 128//D for odd head counts.
     hg = head_group or min(nH, max(1, 128 // D))
+    while nH % hg:
+        hg -= 1
     nG = nH // hg
     wq_h = wq.reshape(C, nG, hg * D).transpose(1, 0, 2)
     bq_h = bq.reshape(nG, 1, hg * D)  # dummy sublane axis

@@ -306,8 +306,9 @@ def fused_attention_image(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
 
     residual=True returns x + Attn(LN(x)); False returns just the
     attention output (image layout, un-shifted). Requires win == 8,
-    H % 8 == W % 8 == 0. Efficient for C % 128 == 0 (lane-aligned);
-    other C compile but pay narrow-lane DMA costs.
+    H % 8 == W % 8 == 0, and C % 128 == 0 on TPU (raises ValueError
+    otherwise — narrow C wedges Mosaic's layout inference); interpret
+    mode is the only exception.
     """
     B, H, W, C = x.shape
     if win != 8:
@@ -323,6 +324,8 @@ def fused_attention_image(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
     nH = num_heads
     D = C // nH
     hg = min(nH, max(1, 128 // D))
+    while nH % hg:  # hg must divide nH (largest divisor <= 128//D)
+        hg -= 1
     nG = nH // hg
     wq_h = wq.reshape(C, nG, hg * D).transpose(1, 0, 2)
     bq_h = bq.reshape(nG, 1, hg * D)
