@@ -76,3 +76,34 @@ def test_fastleff_model_variant_runs():
     y_leff = m_leff.apply(params, x)
     np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_leff),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_dropout_active_leff_routes_to_jnp(monkeypatch):
+    """Regression for the drop>0 routing bug: with the pallas backend
+    resolved (as on TPU) and dropout ACTIVE, LeFF must (a) never reach a
+    fused-kernel call (which has no dropout and, off-TPU, would run in
+    interpret mode) and (b) actually apply dropout."""
+    from uformer_tpu.models.layers import LeFF
+    from uformer_tpu.ops import attention as attn_mod
+    from uformer_tpu.ops.pallas import leff as leff_mod
+
+    monkeypatch.setattr(attn_mod, "resolve_backend", lambda b: "pallas")
+
+    def _boom(*a, **k):
+        raise AssertionError("fused kernel reached with active dropout")
+
+    monkeypatch.setattr(leff_mod, "fused_leff", _boom)
+    monkeypatch.setattr(leff_mod, "fused_leff_ad", _boom)
+
+    m = LeFF(hidden_dim=32, drop=0.5)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 8, 8, 8)).astype(np.float32))
+    params = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, deterministic=False)
+    y1 = m.apply(params, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(2)})
+    y2 = m.apply(params, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(3)})
+    # dropout applied: different rngs give different outputs
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
