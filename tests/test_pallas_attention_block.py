@@ -105,3 +105,49 @@ def test_unfused_fallback_keeps_shift_mask(reason):
     y2 = b_pal.apply(params, x, deterministic=det, rngs=rngs)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shift,nH,has_ln,has_mod", [
+    (0, 2, True, True),
+    (4, 4, False, True),
+    (4, 1, True, False),
+])
+def test_fused_block_bwd_kernel_matches_autodiff(shift, nH, has_ln, has_mod):
+    """The fused Pallas backward kernel == jax.grad of the jnp reference
+    for every input, including the rel-pos bias and modulator."""
+    from uformer_tpu.ops.pallas.attention_block import (
+        fused_attention_block_bwd,
+    )
+
+    H = W = 16
+    win, B, C = 8, 2, 32
+    N = win * win
+    Bw = B * (H // win) * (W // win)
+    kw = dict(win=win, shift=shift, H=H, W=W, scale=0.17, num_heads=nH)
+    inp = _inputs(3, Bw, N, C, nH)
+    if not has_mod:
+        inp["mod"] = jnp.zeros_like(inp["mod"])
+    dy = jnp.asarray(
+        np.random.default_rng(9).normal(size=(Bw, N, C)).astype(np.float32))
+
+    def loss(*args):
+        return jnp.sum(attention_block_reference(
+            *args, has_ln=has_ln, **kw) * dy)
+
+    want = jax.grad(loss, argnums=tuple(range(11)))(*inp.values())
+    got = fused_attention_block_bwd(
+        inp["x"], dy, inp["mod"], inp["ln_s"], inp["ln_b"], inp["wq"],
+        inp["bq"], inp["wkv"], inp["bkv"], inp["wo"], inp["bo"],
+        inp["bias"], has_ln=has_ln, has_mod=True, interpret=True, **kw)
+    # kernel order: dx, dmod, dls, dlb, dwq, dbq, dwkv, dbkv, dwo, dbo, db
+    names = ["dx", "dmod", "dls", "dlb", "dwq", "dbq", "dwkv", "dbkv",
+             "dwo", "dbo", "dbias"]
+    order = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    for gi, name, oi in zip(got, names, order):
+        if not has_ln and name in ("dls", "dlb"):
+            continue
+        w = np.asarray(want[oi])
+        g = np.asarray(gi)
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(g, w, atol=2e-4 * scale, rtol=2e-4,
+                                   err_msg=f"{name} (shift={shift})")

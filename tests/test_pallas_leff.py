@@ -107,3 +107,49 @@ def test_dropout_active_leff_routes_to_jnp(monkeypatch):
                  rngs={"dropout": jax.random.PRNGKey(3)})
     # dropout applied: different rngs give different outputs
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+@pytest.mark.parametrize("shape,hidden,has_ln,residual", [
+    ((1, 16, 16, 128), 512, True, True),     # lane-aligned
+    ((2, 16, 16, 32), 128, True, True),      # packed p=4
+    ((1, 24, 16, 64), 256, False, False),    # packed p=2, no LN/residual
+    ((1, 11, 8, 128), 384, True, False),     # odd H (pad path)
+])
+def test_fused_leff_bwd_matches_autodiff(shape, hidden, has_ln, residual):
+    """The fused backward kernel == jax.grad of the jnp reference (fp32)."""
+    from uformer_tpu.ops.pallas.leff import fused_leff_bwd
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.5)
+    w1 = jnp.asarray(rng.normal(size=(C, hidden)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=(hidden,)).astype(np.float32) * 0.1)
+    wd = jnp.asarray(rng.normal(size=(3, 3, hidden)).astype(np.float32) * 0.2)
+    bd = jnp.asarray(rng.normal(size=(hidden,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(hidden, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    ln_s = jnp.asarray(1.0 + rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    ln_b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    dy = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    def loss(x, w1, b1, wd, bd, w2, b2, ln_s, ln_b):
+        y = leff_reference(x, w1, b1, wd, bd, w2, b2,
+                           ln_s=ln_s if has_ln else None,
+                           ln_b=ln_b if has_ln else None, residual=residual)
+        return jnp.sum(y * dy)
+
+    want = jax.grad(loss, argnums=tuple(range(9)))(
+        x, w1, b1, wd, bd, w2, b2, ln_s, ln_b)
+    got = fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b,
+                         has_ln=has_ln, residual=residual, interpret=True)
+    names = ["dx", "dw1", "db1", "dwd", "dbd", "dw2", "db2", "dls", "dlb"]
+    # b2 grad sits at index 6 in `want`; kernel returns it at index 6 too
+    for i, name in enumerate(names):
+        if not has_ln and name in ("dls", "dlb"):
+            continue
+        w = np.asarray(want[i])
+        g = np.asarray(got[i])
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(
+            g, w, atol=2e-4 * scale, rtol=2e-4,
+            err_msg=f"{name} mismatch (shape {shape}, ln={has_ln})")

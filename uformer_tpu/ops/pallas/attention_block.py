@@ -214,9 +214,319 @@ def attention_block_reference(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
 
 
 @functools.lru_cache(maxsize=None)
+def _make_bwd_kernel(T, N, C, nH, D, win, g, hg, scale, has_mod, has_ln,
+                     shifted, x_dtype):
+    """Fused backward of the attention block: recompute q/k/v/probs per
+    tile in VMEM, emit dx and accumulate all weight grads (fp32) into
+    constant-index output blocks across the sequential grid."""
+    P = g * N
+    nG = nH // hg
+    f32 = jnp.float32
+
+    def kernel(geom_ref, x_ref, g_ref, mod_ref, ln_s_ref, ln_b_ref,
+               wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref,
+               bo_ref, bias_ref,
+               dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
+               dbv_ref, dwo_ref, dbo_ref, dbias_ref, dmod_ref, dls_ref,
+               dlb_ref):
+        H, W, shift, nW_w, nW = (geom_ref[0], geom_ref[1], geom_ref[2],
+                                 geom_ref[3], geom_ref[4])
+        t_id = pl.program_id(0)
+
+        @pl.when(t_id == 0)
+        def _init():
+            for r in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
+                      dbv_ref, dwo_ref, dbo_ref, dbias_ref, dmod_ref,
+                      dls_ref, dlb_ref):
+                r[:] = jnp.zeros(r.shape, r.dtype)
+
+        xt = x_ref[0]
+        gt = g_ref[0].reshape(T * N, C)
+        tok0 = xt.reshape(T * N, C)
+        prec = (jax.lax.Precision.HIGHEST
+                if tok0.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+        if has_ln:
+            tf = tok0.astype(f32)
+            mu = tf.mean(-1, keepdims=True)
+            var = tf.var(-1, keepdims=True)
+            rsig = jax.lax.rsqrt(var + 1e-5)
+            that = (tf - mu) * rsig
+            tok = (that * ln_s_ref[:].astype(f32)
+                   + ln_b_ref[:].astype(f32)).astype(tok0.dtype)
+        else:
+            tok = tok0
+        if has_mod:
+            tok = (tok.reshape(T, N, C)
+                   + mod_ref[:][None].astype(tok.dtype)).reshape(T * N, C)
+
+        # shift / pairing mask — identical to the forward kernel
+        if shifted:
+            base = t_id * T
+            rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
+            widx = base + rows * g + cols // N
+            n_off = cols % N
+            w_in_img = widx % nW
+            wi = w_in_img // nW_w
+            wj = w_in_img - wi * nW_w
+            rh = _region_ids(win, shift, H, wi, n_off // win)
+            rw = _region_ids(win, shift, W, wj, n_off % win)
+            rid = widx * 9 + rh * 3 + rw
+            smask = ((rid[:, :, None] != rid[:, None, :]).astype(f32)
+                     * jnp.float32(-100.0))
+            smask2d = None
+        elif g > 1:
+            ra = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) // N
+            ca = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1) // N
+            smask2d = (ra != ca).astype(f32) * jnp.float32(-100.0)
+            smask = None
+        else:
+            smask = smask2d = None
+
+        dbo_ref[:] += jnp.sum(gt.astype(f32), axis=0).reshape(1, C)
+        dtok = jnp.zeros((T * N, C), f32)
+        for gi in range(nG):
+            def proj(w_ref, b_ref):
+                y = jax.lax.dot_general(
+                    tok, w_ref[gi],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=prec)
+                return (y + b_ref[gi, 0].astype(f32)).astype(tok.dtype)
+
+            qg = proj(wq_ref, bq_ref)
+            kg = proj(wk_ref, bk_ref)
+            vg = proj(wv_ref, bv_ref)
+            # dog for this group: g @ wo_g^T  -> (T*N, hg*D)
+            dog = jax.lax.dot_general(
+                gt.astype(tok.dtype), wo_ref[gi],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            o_parts = []
+            dq_parts = []
+            dk_parts = []
+            dv_parts = []
+            for hh in range(hg):
+                h = gi * hg + hh
+                sl = slice(hh * D, (hh + 1) * D)
+                q = qg[:, sl].reshape(T // g, P, D)
+                k = kg[:, sl].reshape(T // g, P, D)
+                v = vg[:, sl].reshape(T // g, P, D)
+                bias_h = bias_ref[h]
+                if g > 1:
+                    bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                    bias_h = jnp.concatenate([bias_h] * g, axis=-2)
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=prec)
+                if shifted:
+                    logits = logits * scale + bias_h[None] + smask
+                elif smask2d is not None:
+                    logits = logits * scale + (bias_h + smask2d)[None]
+                else:
+                    logits = logits * scale + bias_h[None]
+                probs = jax.nn.softmax(logits, axis=-1)
+                probs_c = probs.astype(tok.dtype)
+                o_parts.append(jax.lax.dot_general(
+                    probs_c, v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=prec,
+                ).astype(tok.dtype))
+                dog_h = dog[:, sl].astype(tok.dtype).reshape(T // g, P, D)
+                dprobs = jax.lax.dot_general(
+                    dog_h, v,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=prec)
+                dv_parts.append(jax.lax.dot_general(
+                    probs_c, dog_h,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=prec,
+                ).astype(tok.dtype))
+                dlog = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                                 keepdims=True))
+                # rel-pos bias grad: sum diagonal quadrants over groups
+                db = jnp.sum(dlog, axis=0)  # (P, P)
+                if g > 1:
+                    db = sum(db[a * N:(a + 1) * N, a * N:(a + 1) * N]
+                             for a in range(g))
+                dbias_ref[h] += db
+                dlog_c = (dlog * scale).astype(tok.dtype)
+                dq_parts.append(jax.lax.dot_general(
+                    dlog_c, k,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=prec,
+                ).astype(tok.dtype))
+                dk_parts.append(jax.lax.dot_general(
+                    dlog_c, q,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=prec,
+                ).astype(tok.dtype))
+            og = (o_parts[0] if hg == 1
+                  else jnp.concatenate(o_parts, axis=-1)) \
+                .reshape(T * N, hg * D)
+            dq_g = (dq_parts[0] if hg == 1
+                    else jnp.concatenate(dq_parts, axis=-1)) \
+                .reshape(T * N, hg * D)
+            dk_g = (dk_parts[0] if hg == 1
+                    else jnp.concatenate(dk_parts, axis=-1)) \
+                .reshape(T * N, hg * D)
+            dv_g = (dv_parts[0] if hg == 1
+                    else jnp.concatenate(dv_parts, axis=-1)) \
+                .reshape(T * N, hg * D)
+            dwo_ref[gi] += jax.lax.dot_general(
+                og, gt.astype(tok.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            for dparts, dw_ref, db_ref in (
+                    (dq_g, dwq_ref, dbq_ref), (dk_g, dwk_ref, dbk_ref),
+                    (dv_g, dwv_ref, dbv_ref)):
+                dw_ref[gi] += jax.lax.dot_general(
+                    tok, dparts, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=prec)
+                db_ref[gi] += jnp.sum(dparts.astype(f32),
+                                      axis=0).reshape(1, hg * D)
+                dtok = dtok + jax.lax.dot_general(
+                    dparts,
+                    (wq_ref if dw_ref is dwq_ref else
+                     wk_ref if dw_ref is dwk_ref else wv_ref)[gi],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=prec)
+
+        if has_mod:
+            dmod_ref[:] += jnp.sum(dtok.reshape(T, N, C), axis=0)
+        if has_ln:
+            dls_ref[:] += jnp.sum(dtok * that, axis=0).reshape(1, C)
+            dlb_ref[:] += jnp.sum(dtok, axis=0).reshape(1, C)
+            dth = dtok * ln_s_ref[:].astype(f32)
+            m1 = dth.mean(-1, keepdims=True)
+            m2 = (dth * that).mean(-1, keepdims=True)
+            dxv = (dth - m1 - that * m2) * rsig
+        else:
+            dxv = dtok
+        dx_ref[0] = dxv.reshape(T, N, C).astype(x_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "win", "shift", "H", "W", "scale", "num_heads", "has_ln", "has_mod",
+    "interpret", "vmem_mb"))
+def fused_attention_block_bwd(x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo,
+                              bo, bias, *, win, shift, H, W, scale,
+                              num_heads, has_ln=True, has_mod=True,
+                              interpret=False, vmem_mb=0):
+    """VJP of the fused attention block as one Pallas kernel.
+
+    Returns (dx, dmod, dln_s, dln_b, dwq, dbq, dwkv, dbkv, dwo, dbo,
+    dbias) with weight grads in fp32."""
+    Bw, N, C = x.shape
+    nH = num_heads
+    D = C // nH
+    hg = min(nH, max(1, 128 // D))
+    while nH % hg:
+        hg -= 1
+    nG = nH // hg
+    wq_h = wq.reshape(C, nG, hg * D).transpose(1, 0, 2)
+    bq_h = bq.reshape(nG, 1, hg * D)
+    wk = wkv[:, :C].reshape(C, nG, hg * D).transpose(1, 0, 2)
+    wv = wkv[:, C:].reshape(C, nG, hg * D).transpose(1, 0, 2)
+    bk = bkv[:C].reshape(nG, 1, hg * D)
+    bv = bkv[C:].reshape(nG, 1, hg * D)
+    wo_h = wo.reshape(nG, hg * D, C)
+
+    T = _pick_tile(Bw, C, x.dtype.itemsize,
+                   budget=(vmem_mb * 2**20 if vmem_mb else
+                           3 * 2**20 if x.dtype.itemsize <= 2 else
+                           2 * 2**20))
+    gp = max(1, 128 // N)
+    while T % gp:
+        gp -= 1
+    kernel = _make_bwd_kernel(T, N, C, nH, D, win, gp, hg, float(scale),
+                              has_mod, has_ln, shift > 0, x.dtype)
+    if mod is None:
+        mod = jnp.zeros((N, C), x.dtype)
+    if ln_s is None:
+        ln_s = jnp.ones((C,), jnp.float32)
+        ln_b = jnp.zeros((C,), jnp.float32)
+    nW_w = W // win
+    nW = (H // win) * nW_w
+    geom = jnp.asarray([H, W, shift, nW_w, nW], jnp.int32)
+    f32 = jnp.float32
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def const(*shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda t, geom: zeros,
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bw // T,),
+        in_specs=[
+            pl.BlockSpec((1, T, N, C), lambda t, geom: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, N, C), lambda t, geom: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vmem, vmem, vmem,            # mod, ln_s, ln_b
+            vmem, vmem, vmem, vmem,      # wq, bq, wk, bk
+            vmem, vmem, vmem, vmem,      # wv, bv, wo, bo
+            vmem,                        # bias
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, N, C), lambda t, geom: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(nG, C, hg * D), const(nG, 1, hg * D),
+            const(nG, C, hg * D), const(nG, 1, hg * D),
+            const(nG, C, hg * D), const(nG, 1, hg * D),
+            const(nG, hg * D, C), const(1, C),
+            const(nH, N, N), const(N, C), const(1, C), const(1, C),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Bw, N, C), x.dtype),
+            jax.ShapeDtypeStruct((nG, C, hg * D), f32),   # dwq
+            jax.ShapeDtypeStruct((nG, 1, hg * D), f32),   # dbq
+            jax.ShapeDtypeStruct((nG, C, hg * D), f32),   # dwk
+            jax.ShapeDtypeStruct((nG, 1, hg * D), f32),   # dbk
+            jax.ShapeDtypeStruct((nG, C, hg * D), f32),   # dwv
+            jax.ShapeDtypeStruct((nG, 1, hg * D), f32),   # dbv
+            jax.ShapeDtypeStruct((nG, hg * D, C), f32),   # dwo
+            jax.ShapeDtypeStruct((1, C), f32),            # dbo
+            jax.ShapeDtypeStruct((nH, N, N), f32),        # dbias
+            jax.ShapeDtypeStruct((N, C), f32),            # dmod
+            jax.ShapeDtypeStruct((1, C), f32),            # dln_s
+            jax.ShapeDtypeStruct((1, C), f32),            # dln_b
+        ],
+        interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=50 * 2**20) if not interpret else None),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * Bw * N * C * (4 * C + 2 * N),
+            bytes_accessed=3 * Bw * N * C * x.dtype.itemsize,
+            transcendentals=Bw * nH * N * N,
+        ),
+    )(geom, x[None], g[None], mod, ln_s, ln_b, wq_h, bq_h, wk, bk, wv, bv,
+      wo_h, bo, bias.astype(jnp.float32))
+    (dx, dwq_h, dbq_h, dwk_h, dbk_h, dwv_h, dbv_h, dwo_h, dbo, dbias,
+     dmod, dls, dlb) = outs
+    dwq = dwq_h.transpose(1, 0, 2).reshape(C, C)
+    dwk = dwk_h.transpose(1, 0, 2).reshape(C, C)
+    dwv = dwv_h.transpose(1, 0, 2).reshape(C, C)
+    dwkv = jnp.concatenate([dwk, dwv], axis=1)
+    dbq = dbq_h.reshape(C)
+    dbkv = jnp.concatenate([dbk_h.reshape(C), dbv_h.reshape(C)])
+    dwo = dwo_h.reshape(C, C)
+    return (dx[0], dmod, dls[0], dlb[0], dwq, dbq, dwkv, dbkv, dwo,
+            dbo[0], dbias)
+
+
+@functools.lru_cache(maxsize=None)
 def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret):
-    """custom_vjp wrapper per static geometry: Pallas forward,
-    reference-jnp VJP backward (rematerialized)."""
+    """custom_vjp wrapper per static geometry: Pallas forward; fused
+    Pallas backward on TPU, reference-jnp VJP elsewhere."""
     kw = dict(win=win, shift=shift, H=H, W=W, scale=scale,
               num_heads=num_heads)
 
@@ -230,6 +540,17 @@ def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret):
         return f(*args), args
 
     def bwd(res, g):
+        x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias = res
+        if jax.default_backend() == "tpu" and not interpret:
+            (dx, dmod, dls, dlb, dwq, dbq, dwkv, dbkv, dwo, dbo,
+             dbias) = fused_attention_block_bwd(
+                x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias,
+                has_ln=has_ln, has_mod=True, **kw)
+            cast = lambda d, v: d.astype(v.dtype)  # noqa: E731
+            return (cast(dx, x), cast(dmod, mod), cast(dls, ln_s),
+                    cast(dlb, ln_b), cast(dwq, wq), cast(dbq, bq),
+                    cast(dwkv, wkv), cast(dbkv, bkv), cast(dwo, wo),
+                    cast(dbo, bo), cast(dbias, bias))
         _, vjp = jax.vjp(
             lambda *a: attention_block_reference(*a, has_ln=has_ln, **kw),
             *res)

@@ -71,6 +71,18 @@ def _gelu(x, cheap: bool = False):
     return (0.5 * xf * (1.0 + erf_fn(xf * (2.0 ** -0.5)))).astype(x.dtype)
 
 
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _dgelu(h, cheap: bool = False):
+    """d/dh gelu(h) = Phi(h) + h * phi(h), fp32 out."""
+    hf = h.astype(jnp.float32)
+    erf_fn = _erf_poly if cheap else _erf
+    Phi = 0.5 * (1.0 + erf_fn(hf * (2.0 ** -0.5)))
+    phi = jnp.exp(-0.5 * hf * hf) * _INV_SQRT_2PI
+    return Phi + hf * phi
+
+
 def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
     """(B, Hp+2, W+2, C) -> (B, nT, Th+2, W+2, C) with 2-row overlap."""
     H = xp.shape[1] - 2
@@ -280,11 +292,342 @@ def leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None,
     return x0 + y if residual else y
 
 
-@functools.lru_cache(maxsize=4)
-def _leff_ad_factory(has_ln: bool, residual: bool):
-    """custom_vjp wrapper: Pallas forward, reference-jnp VJP backward
-    (rematerialized — the memory policy the reference reaches for with
-    torch.utils.checkpoint, model.py:1056)."""
+def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
+                     p):
+    """Fused LeFF backward: recompute the forward intermediates on
+    VMEM-resident tiles (flash-style) and emit dx plus all weight grads in
+    one pass. Covers the VJP of :func:`leff_reference` exactly.
+
+    Grid (B, nT); weight-grad outputs use constant index maps (the block
+    stays VMEM-resident across the whole sequential TPU grid) and are
+    accumulated in fp32, initialized at the global first step.
+
+    Halo scheme mirrors the forward: da1 row r needs dhc rows r-1..r+1;
+    dhc row r needs a1 rows r-1..r+1 and dy row r; so x is read with a
+    +-2-row and dy with a +-1-row halo via the 8-row neighbour blocks.
+    Out-of-image halo rows are zeroed explicitly (top/bottom edge tiles),
+    matching the forward's zero conv ring — pad rows contribute nothing
+    to any gradient."""
+    cheap = x_dtype == jnp.bfloat16
+    cq = C // p
+    chq = Ch // p
+    f32 = jnp.float32
+
+    def tap(hs, ddx, rows):
+        """ddx-tap (rows, W, Ch) of a ring-padded (rows, W+2, Ch) slab;
+        same packed-neighbour semantics as the forward conv."""
+        if p == 1:
+            return hs[:, ddx:ddx + W]
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
+        ctr = hs[:, 1:W + 1]
+        if ddx == 1:
+            return ctr
+        if ddx == 0:
+            A = jnp.roll(hs, chq, axis=2)
+            return jnp.where(lane_h < chq, A[:, 0:W], A[:, 1:W + 1])
+        Bv = jnp.roll(hs, -chq, axis=2)
+        return jnp.where(lane_h >= (p - 1) * chq, Bv[:, 2:W + 2],
+                         Bv[:, 1:W + 1])
+
+    def ln_apply(tok, ln_s, ln_b, prec):
+        """Returns (t in x dtype, that fp32, rsig fp32). that/rsig only
+        meaningful when has_ln."""
+        if not has_ln:
+            return tok, None, None
+        tf = tok.astype(f32)
+        if p == 1:
+            mu = tf.mean(-1, keepdims=True)
+            var = tf.var(-1, keepdims=True)
+            rsig = jax.lax.rsqrt(var + 1e-5)
+            that = (tf - mu) * rsig
+        else:
+            mmat = _group_mean_mat(tok.dtype)
+            mu = jax.lax.dot_general(
+                tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            cen = tf - mu
+            cb = cen.astype(tok.dtype)
+            var = jax.lax.dot_general(
+                cb * cb, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            rsig = jax.lax.rsqrt(var + 1e-5)
+            that = cen * rsig
+        t = (that * ln_s.astype(f32) + ln_b.astype(f32)).astype(tok.dtype)
+        return t, that, rsig
+
+    def _group_mean_mat(dtype):
+        li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        return jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0).astype(dtype)
+
+    def group_mean(v, prec):
+        """Per-pixel mean within each packed slot group, fp32."""
+        if p == 1:
+            return v.mean(-1, keepdims=True)
+        mmat = _group_mean_mat(x_dtype)
+        return jax.lax.dot_general(
+            v.astype(x_dtype), mmat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+
+    def kernel(xm_ref, xa_ref, xb_ref, dym_ref, dya_ref, dyb_ref,
+               ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
+               dx_ref, dw1_ref, db1_ref, dwd_ref, dbd_ref, dw2_ref,
+               db2_ref, dls_ref, dlb_ref, a1e_ref, dhce_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        xm = xm_ref[0]
+        prec = (jax.lax.Precision.HIGHEST if xm.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+
+        @pl.when(jnp.logical_and(b == 0, t == 0))
+        def _init():
+            dw1_ref[:] = jnp.zeros(dw1_ref.shape, f32)
+            db1_ref[:] = jnp.zeros(db1_ref.shape, f32)
+            dwd_ref[:] = jnp.zeros(dwd_ref.shape, f32)
+            dbd_ref[:] = jnp.zeros(dbd_ref.shape, f32)
+            dw2_ref[:] = jnp.zeros(dw2_ref.shape, f32)
+            db2_ref[:] = jnp.zeros(db2_ref.shape, f32)
+            dls_ref[:] = jnp.zeros(dls_ref.shape, f32)
+            dlb_ref[:] = jnp.zeros(dlb_ref.shape, f32)
+
+        # ---- phase 1: a1e = gelu(LN(x) @ w1 + b1) on Th+4 rows + ring
+        xe = jnp.concatenate([xa_ref[0, 6:8], xm, xb_ref[0, 0:2]], axis=0)
+        zc = jnp.zeros((Th + 4, 1, C), xm.dtype)
+        xe = jnp.concatenate([zc, xe, zc], axis=1)  # (Th+4, W+2, C)
+        toke = xe.reshape((Th + 4) * (W + 2), C)
+        te, _, _ = ln_apply(toke, ln_s_ref[:], ln_b_ref[:], prec)
+        h = jax.lax.dot_general(
+            te, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        a1 = _gelu(h + b1_ref[:].astype(f32), cheap=cheap)
+        a1e_ref[:] = a1.reshape(Th + 4, W + 2, Ch).astype(xm.dtype)
+        a1e_ref[:, 0:1, :] = jnp.zeros((Th + 4, 1, Ch), xm.dtype)
+        a1e_ref[:, W + 1:W + 2, :] = jnp.zeros((Th + 4, 1, Ch), xm.dtype)
+
+        @pl.when(t == 0)
+        def _zero_top_a1():
+            a1e_ref[0:2] = jnp.zeros((2, W + 2, Ch), xm.dtype)
+
+        n_bot_a = min(Hp - H0 + 2, Th + 4)
+        @pl.when(t == nT - 1)
+        def _zero_bot_a1():
+            a1e_ref[Th + 4 - n_bot_a:] = jnp.zeros(
+                (n_bot_a, W + 2, Ch), xm.dtype)
+
+        # ---- phase 2: dhc on Th+2 rows; dw2/db2/dwd/dbd on own rows
+        dye = jnp.concatenate(
+            [dya_ref[0, 7:8], dym_ref[0], dyb_ref[0, 0:1]], axis=0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (Th + 2, 1, 1), 0)
+        absr = t * Th - 1 + ri
+        dye = jnp.where((absr >= 0) & (absr < H0), dye, 0)
+        g2 = jax.lax.dot_general(  # dy @ w2^T: (n, C) x (Ch, C) -> (n, Ch)
+            dye.reshape((Th + 2) * W, C), w2_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        acc = jnp.zeros((Th + 2, W, Ch), f32)
+        for ddy in range(3):
+            rows = a1e_ref[ddy:ddy + Th + 2]
+            for ddx in range(3):
+                acc += tap(rows, ddx, Th + 2).astype(f32) * \
+                    wd_ref[ddy, ddx, :].astype(f32)
+        hc = acc + bd_ref[:].astype(f32)
+        dhc = _dgelu(hc, cheap=cheap) * g2.reshape(Th + 2, W, Ch)
+        dhce_ref[:, 1:W + 1, :] = dhc.astype(xm.dtype)
+        dhce_ref[:, 0:1, :] = jnp.zeros((Th + 2, 1, Ch), xm.dtype)
+        dhce_ref[:, W + 1:W + 2, :] = jnp.zeros((Th + 2, 1, Ch), xm.dtype)
+
+        a2_own = _gelu(hc[1:Th + 1], cheap=cheap).astype(xm.dtype)
+        dy_own = dye[1:Th + 1]
+        dw2_ref[:] += jax.lax.dot_general(
+            a2_own.reshape(Th * W, Ch), dy_own.reshape(Th * W, C),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        db2_ref[:] += jnp.sum(dy_own.astype(f32),
+                              axis=(0, 1)).reshape(1, C)
+        dhc_own = dhc[1:Th + 1]
+        dbd_ref[:] += jnp.sum(dhc_own, axis=(0, 1)).reshape(1, Ch)
+        for ddy in range(3):
+            rows = a1e_ref[1 + ddy:1 + ddy + Th]
+            for ddx in range(3):
+                a1t = tap(rows, ddx, Th).astype(f32)
+                dwd_ref[ddy, ddx, :] += jnp.sum(a1t * dhc_own, axis=(0, 1))
+
+        # ---- phase 3: da1 -> dh1 -> dw1/db1/dt -> LN backward -> dx
+        da1 = jnp.zeros((Th, W, Ch), f32)
+        for ddy in range(3):
+            rows = dhce_ref[2 - ddy:2 - ddy + Th]
+            for ddx in range(3):
+                da1 += tap(rows, 2 - ddx, Th).astype(f32) * \
+                    wd_ref[ddy, ddx, :].astype(f32)
+        tok_own = xm.reshape(Th * W, C)
+        t_own, that, rsig = ln_apply(tok_own, ln_s_ref[:], ln_b_ref[:],
+                                     prec)
+        h1_own = jax.lax.dot_general(
+            t_own, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec) \
+            + b1_ref[:].astype(f32)
+        dh1 = da1.reshape(Th * W, Ch) * _dgelu(h1_own, cheap=cheap)
+        if Hp != H0:
+            ro = jax.lax.broadcasted_iota(jnp.int32, (Th, 1, 1), 0)
+            dh1 = jnp.where((t * Th + ro < H0),
+                            dh1.reshape(Th, W, Ch), 0).reshape(Th * W, Ch)
+        dh1c = dh1.astype(xm.dtype)
+        dw1_ref[:] += jax.lax.dot_general(
+            t_own, dh1c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        db1_ref[:] += jnp.sum(dh1, axis=0).reshape(1, Ch)
+        dt = jax.lax.dot_general(  # dh1 @ w1^T
+            dh1c, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        if has_ln:
+            dls_ref[:] += jnp.sum(dt * that, axis=0).reshape(1, C)
+            dlb_ref[:] += jnp.sum(dt, axis=0).reshape(1, C)
+            dth = dt * ln_s_ref[:].astype(f32)
+            m1 = group_mean(dth, prec)
+            m2 = group_mean(dth * that, prec)
+            dxv = (dth - m1 - that * m2) * rsig
+        else:
+            dxv = dt
+        dxv = dxv.reshape(Th, W, C)
+        if residual:
+            dxv = dxv + dy_own.astype(f32)
+        dx_ref[0] = dxv.astype(xm.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("has_ln", "residual",
+                                             "interpret", "vmem_mb"))
+def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
+                   has_ln: bool = True, residual: bool = False,
+                   interpret: bool = False, vmem_mb: int = 0):
+    """VJP of the fused LeFF pipeline as ONE Pallas kernel.
+
+    Returns (dx, dw1, db1, dwd, dbd, dw2, db2, dln_s, dln_b); weight
+    grads in fp32. Same pixel-packing and H-padding rules as
+    :func:`fused_leff`."""
+    B, H, W, C = x.shape
+    Ch = w1.shape[1]
+
+    p = 1
+    if C < 128 and 128 % C == 0:
+        cand = 128 // C
+        if W % cand == 0 and W // cand >= 2:
+            p = cand
+    C0, Ch0 = C, Ch
+    if p > 1:
+        eye = jnp.eye(p, dtype=w1.dtype)
+        w1 = jnp.kron(eye, w1)
+        w2 = jnp.kron(eye.astype(w2.dtype), w2)
+        b1 = jnp.tile(b1, p)
+        wd = jnp.tile(wd, (1, 1, p))
+        bd = jnp.tile(bd, p)
+        ln_s = jnp.tile(ln_s, p)
+        ln_b = jnp.tile(ln_b, p)
+        x = x.reshape(B, H, W // p, p * C)
+        dy = dy.reshape(B, H, W // p, p * C)
+        W, C, Ch = W // p, p * C, p * Ch
+
+    H0 = H
+    if H % 8:
+        Hp = (H + 7) // 8 * 8
+        pad = ((0, 0), (0, Hp - H), (0, 0), (0, 0))
+        x = jnp.pad(x, pad)
+        dy = jnp.pad(dy, pad)
+        H = Hp
+    budget = (vmem_mb * 2**20) if vmem_mb else 24 * 2**20
+    # two hidden-size scratches + several fp32 hidden temps per row
+    per_row = (W + 2) * max(Ch, 128) * (2 * x.dtype.itemsize + 20) \
+        + (W + 2) * max(C, 128) * (4 + 6 * x.dtype.itemsize)
+    th = max(budget // max(per_row, 1) - 4, 8)
+    th = min(th // 8 * 8, H)
+    while H % th or th % 8:
+        th -= 8
+    Th = max(th, 8)
+    nT = H // Th
+    nB8 = H // 8
+    k8 = Th // 8
+    kernel = _make_bwd_kernel(Th, H0, H, W, C, Ch, nT, has_ln, residual,
+                              x.dtype, p)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile = lambda: pl.BlockSpec((1, Th, W, C), lambda b, t: (b, t, 0, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    above = lambda: pl.BlockSpec(  # noqa: E731
+        (1, 8, W, C), lambda b, t: (b, jnp.maximum(t * k8 - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    below = lambda: pl.BlockSpec(  # noqa: E731
+        (1, 8, W, C),
+        lambda b, t: (b, jnp.minimum(t * k8 + k8, nB8 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    def const(*shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda b, t: zeros,
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, nT),
+        in_specs=[tile(), above(), below(),      # x
+                  tile(), above(), below(),      # dy
+                  vmem, vmem,                    # ln_s, ln_b
+                  vmem, vmem, vmem, vmem, vmem],  # w1, b1, wd, bd, w2
+        out_specs=[
+            pl.BlockSpec((1, Th, W, C), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(C, Ch), const(1, Ch), const(3, 3, Ch), const(1, Ch),
+            const(Ch, C), const(1, C), const(1, C), const(1, C),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, C), x.dtype),   # dx
+            jax.ShapeDtypeStruct((C, Ch), f32),            # dw1
+            jax.ShapeDtypeStruct((1, Ch), f32),            # db1
+            jax.ShapeDtypeStruct((3, 3, Ch), f32),         # dwd
+            jax.ShapeDtypeStruct((1, Ch), f32),            # dbd
+            jax.ShapeDtypeStruct((Ch, C), f32),            # dw2
+            jax.ShapeDtypeStruct((1, C), f32),             # db2
+            jax.ShapeDtypeStruct((1, C), f32),             # dln_s
+            jax.ShapeDtypeStruct((1, C), f32),             # dln_b
+        ],
+        scratch_shapes=[pltpu.VMEM((Th + 4, W + 2, Ch), x.dtype),
+                        pltpu.VMEM((Th + 2, W + 2, Ch), x.dtype)],
+        interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=int(max((vmem_mb or 24) * 2.5, 50)) * 2**20)
+            if not interpret else None),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * W * Ch * (2 * C + 9),
+            bytes_accessed=3 * B * H * W * C * x.dtype.itemsize,
+            transcendentals=4 * B * H * W * Ch,
+        ),
+    )(x, x, x, dy, dy, dy, ln_s, ln_b, w1, b1, wd, bd, w2)
+    dx, dw1, db1, dwd, dbd, dw2, db2, dls, dlb = outs
+    if H != H0:
+        dx = dx[:, :H0]
+    if p > 1:
+        dx = dx.reshape(B, H0, W * p, C // p)
+        d4 = dw1.reshape(p, C0, p, Ch0)
+        dw1 = sum(d4[s, :, s, :] for s in range(p))
+        d4 = dw2.reshape(p, Ch0, p, C0)
+        dw2 = sum(d4[s, :, s, :] for s in range(p))
+        db1 = db1.reshape(p, Ch0).sum(0)
+        dwd = dwd.reshape(3, 3, p, Ch0).sum(2)
+        dbd = dbd.reshape(p, Ch0).sum(0)
+        db2 = db2.reshape(p, C0).sum(0)
+        dls = dls.reshape(p, C0).sum(0)
+        dlb = dlb.reshape(p, C0).sum(0)
+    else:
+        db1, dbd, db2 = db1[0], dbd[0], db2[0]
+        dls, dlb = dls[0], dlb[0]
+    return dx, dw1, db1, dwd, dbd, dw2, db2, dls, dlb
+
+
+@functools.lru_cache(maxsize=8)
+def _leff_ad_factory(has_ln: bool, residual: bool, pallas_bwd: bool):
+    """custom_vjp wrapper: Pallas forward; backward is the fused Pallas
+    backward kernel on TPU (flash-style in-kernel recompute) or the
+    rematerialized jnp VJP elsewhere."""
 
     @jax.custom_vjp
     def f(x, w1, b1, wd, bd, w2, b2, ln_s, ln_b):
@@ -297,6 +640,21 @@ def _leff_ad_factory(has_ln: bool, residual: bool):
         return f(*args), args
 
     def bwd(res, g):
+        x, w1, b1, wd, bd, w2, b2, ln_s, ln_b = res
+        if pallas_bwd:
+            dx, dw1, db1, dwd, dbd, dw2, db2, dls, dlb = fused_leff_bwd(
+                x, g, w1, b1, wd, bd, w2, ln_s, ln_b, has_ln=has_ln,
+                residual=residual)
+            zero = (lambda v, d: jnp.zeros(v.shape, v.dtype)
+                    if d is None else d.astype(v.dtype))
+            if not has_ln:
+                dls = dlb = None
+            return (dx.astype(x.dtype), dw1.astype(w1.dtype),
+                    db1.astype(b1.dtype), dwd.astype(wd.dtype),
+                    dbd.astype(bd.dtype), dw2.astype(w2.dtype),
+                    db2.astype(b2.dtype), zero(ln_s, dls),
+                    zero(ln_b, dlb))
+
         def ref(*a):
             return leff_reference(
                 *a[:7], ln_s=a[7] if has_ln else None,
@@ -316,8 +674,9 @@ def fused_leff_ad(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None,
         C = x.shape[-1]
         ln_s = jnp.ones((C,), jnp.float32)
         ln_b = jnp.zeros((C,), jnp.float32)
-    return _leff_ad_factory(has_ln, residual)(x, w1, b1, wd, bd, w2, b2,
-                                              ln_s, ln_b)
+    pallas_bwd = jax.default_backend() == "tpu"
+    return _leff_ad_factory(has_ln, residual, pallas_bwd)(
+        x, w1, b1, wd, bd, w2, b2, ln_s, ln_b)
 
 
 @functools.partial(jax.jit, static_argnames=("residual", "interpret",
