@@ -345,6 +345,99 @@ class _LinearQKVParams(nn.Module):
         return wq, bq, wkv, bkv
 
 
+class _AttnParams(nn.Module):
+    """Parameter tree identical to WindowAttention's (table + linear qkv +
+    proj) without running it — for the whole-stage megakernel."""
+
+    dim: int
+    num_heads: int
+    win: int = 8
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * self.win - 1) * (2 * self.win - 1), self.num_heads),
+        )
+        wq, bq, wkv, bkv = _LinearQKVParams(self.dim, self.dim,
+                                            self.qkv_bias, name="qkv")()
+        wo, bo = _DenseParams(self.dim, self.dim, True, name="proj")()
+        return table, wq, bq, wkv, bkv, wo, bo
+
+
+class _LeFFParams(nn.Module):
+    """Parameter tree identical to LeFF's flat params without running it."""
+
+    dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1 = self.param("linear1_kernel", dense_init,
+                        (self.dim, self.hidden_dim))
+        b1 = self.param("linear1_bias", nn.initializers.zeros,
+                        (self.hidden_dim,))
+        wd = self.param(
+            "dwconv_kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (3, 3, self.hidden_dim),
+        )
+        bd = self.param("dwconv_bias", nn.initializers.zeros,
+                        (self.hidden_dim,))
+        w2 = self.param("linear2_kernel", dense_init,
+                        (self.hidden_dim, self.dim))
+        b2 = self.param("linear2_bias", nn.initializers.zeros, (self.dim,))
+        return w1, b1, wd, bd, w2, b2
+
+
+class _LeWinParams(nn.Module):
+    """Full LeWin-block parameter tree (norm1/attn/modulator/norm2/mlp),
+    names and initializers identical to LeWinBlock's, returned as raw
+    arrays for the stage megakernel."""
+
+    dim: int
+    num_heads: int
+    hidden_dim: int
+    qkv_bias: bool = True
+    modulator: bool = False
+    win: int = 8
+
+    @nn.compact
+    def __call__(self, dtype):
+        d = {}
+        d["ln1_s"], d["ln1_b"] = _LNParams(self.dim, name="norm1")()
+        table, wq, bq, wkv, bkv, wo, bo = _AttnParams(
+            self.dim, self.num_heads, self.win, self.qkv_bias,
+            name="attn")()
+        d["bias"] = gather_bias(table.astype(jnp.float32), self.win,
+                                self.win)
+        d["wq"] = wq.astype(dtype)
+        d["bq"] = bq if bq is not None else jnp.zeros((self.dim,),
+                                                      jnp.float32)
+        d["wk"] = wkv[:, :self.dim].astype(dtype)
+        d["wv"] = wkv[:, self.dim:].astype(dtype)
+        kvb = bkv if bkv is not None else jnp.zeros((2 * self.dim,),
+                                                    jnp.float32)
+        d["bk"], d["bv"] = kvb[:self.dim], kvb[self.dim:]
+        d["wo"] = wo.astype(dtype)
+        d["bo"] = bo
+        if self.modulator:
+            d["mod"] = self.param(
+                "modulator", nn.initializers.normal(stddev=1.0),
+                (self.win * self.win, self.dim)).astype(dtype)
+        else:
+            d["mod"] = jnp.zeros((self.win * self.win, self.dim), dtype)
+        d["ln2_s"], d["ln2_b"] = _LNParams(self.dim, name="norm2")()
+        w1, b1, wd, bd, w2, b2 = _LeFFParams(self.dim, self.hidden_dim,
+                                             name="mlp")()
+        d["w1"], d["b1"] = w1.astype(dtype), b1
+        d["wd"], d["bd"] = wd.astype(dtype), bd
+        d["w2"], d["b2"] = w2.astype(dtype), b2
+        return d
+
+
 class WindowAttention(nn.Module):
     """Window MHSA with relative position bias (reference model.py:452-546).
 
@@ -686,19 +779,28 @@ class LeWinBlock(nn.Module):
             x = shortcut + DropPath(self.drop_path, name="drop_path1")(
                 x, deterministic=deterministic)
 
-        # At eval (deterministic: DropPath/Dropout are identity) the whole
-        # LN2 -> LeFF -> residual sub-block folds into the fused kernel —
-        # x is read and written once instead of ~4 XLA passes.
-        fold_mlp = (deterministic
-                    and self.token_mlp in ("leff", "fastleff"))
+        # The whole LN2 -> LeFF [-> residual] sub-block folds into the
+        # fused kernel (x read/written once instead of ~4 XLA passes) at
+        # eval AND in training when dropout is off — the fused Pallas
+        # backward (fused_leff_bwd) handles the gradient. With active
+        # DropPath the residual stays outside (DropPath scales the
+        # branch); active dropout falls back to the unfused path below.
+        fold_mlp = (self.token_mlp in ("leff", "fastleff")
+                    and (deterministic or self.drop == 0.0))
         if fold_mlp:
             ln2 = _LNParams(self.dim, name="norm2")()
-            return LeFF(
+            k_res = deterministic or self.drop_path == 0.0
+            y = LeFF(
                 hidden_dim=int(self.dim * self.mlp_ratio), drop=self.drop,
                 dw_backend=("pallas" if self.token_mlp == "fastleff"
                             else "auto"),
                 dtype=self.dtype, name="mlp")(
-                    x, deterministic=True, ln_params=ln2, residual=True)
+                    x, deterministic=deterministic, ln_params=ln2,
+                    residual=k_res)
+            if k_res:
+                return y
+            return x + DropPath(self.drop_path, name="drop_path2")(
+                y, deterministic=deterministic)
 
         y = _norm("norm2", self.dtype)(x)
         if self.token_mlp in ("ffn", "mlp"):
@@ -751,6 +853,48 @@ class BasicLayer(nn.Module):
     def __call__(self, x, mask=None, deterministic: bool = True):
         win = self.win_size
         reso = self.resolution if self.resolution is not None else min(x.shape[1:3])
+
+        # Whole-stage megakernel (eval): all `depth` blocks in ONE Pallas
+        # kernel with the image VMEM-resident across the stage. Gated to
+        # the small-resolution lane-aligned stages where per-kernel
+        # overhead dominates; the param tree is identical to the
+        # per-block path so checkpoints are unaffected.
+        from uformer_tpu.ops.attention import resolve_backend
+
+        B, H, W, C = x.shape
+        itemsize = 2 if self.dtype == jnp.bfloat16 else 4
+        mega = (deterministic and mask is None
+                and resolve_backend(self.attn_backend) == "pallas"
+                and self.token_projection == "linear"
+                and self.token_mlp in ("leff", "fastleff")
+                and not self.cross_modulator
+                and win == 8 and reso >= win
+                and C % 128 == 0 and H % 8 == 0 and W % 8 == 0
+                and max(B * H * W * C,
+                        (H + 2) * (W + 2) * int(C * self.mlp_ratio))
+                * itemsize <= 24 * 2**20)
+        if mega:
+            from uformer_tpu.ops.pallas.stage import fused_stage_ad
+
+            dt = self.dtype
+            blocks = [
+                _LeWinParams(
+                    dim=C, num_heads=self.num_heads,
+                    hidden_dim=int(C * self.mlp_ratio),
+                    qkv_bias=self.qkv_bias, modulator=self.modulator,
+                    win=win, name=f"blocks_{i}")(dt)
+                for i in range(self.depth)
+            ]
+            p = {k: jnp.stack([b[k] for b in blocks]) for k in blocks[0]}
+            head_dim = C // self.num_heads
+            scale = self.qk_scale or head_dim ** -0.5
+            return fused_stage_ad(
+                x.astype(dt), p, scale=float(scale),
+                num_heads=self.num_heads,
+                use_shift=self.shift_flag and reso > win,
+                has_mod=self.modulator,
+                interpret=jax.default_backend() != "tpu")
+
         block_cls = LeWinBlock
         if self.use_checkpoint:
             block_cls = nn.checkpoint(
