@@ -1,0 +1,67 @@
+"""Whole-stage megakernel vs jnp reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uformer_tpu.models.layers import BasicLayer
+from uformer_tpu.ops.pallas.stage import fused_stage, stage_reference
+
+
+def _stage_params(seed, n, C, nH, Ch):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(  # noqa: E731
+        rng.normal(size=s).astype(np.float32) * 0.1)
+    return dict(
+        ln1_s=1.0 + 0.1 * mk(n, C), ln1_b=0.1 * mk(n, C),
+        wq=mk(n, C, C), bq=mk(n, C), wk=mk(n, C, C), bk=mk(n, C),
+        wv=mk(n, C, C), bv=mk(n, C), wo=mk(n, C, C), bo=mk(n, C),
+        bias=mk(n, nH, 64, 64), mod=mk(n, 64, C),
+        ln2_s=1.0 + 0.1 * mk(n, C), ln2_b=0.1 * mk(n, C),
+        w1=mk(n, C, Ch), b1=mk(n, Ch), wd=mk(n, 3, 3, Ch), bd=mk(n, Ch),
+        w2=mk(n, Ch, C), b2=mk(n, C),
+    )
+
+
+@pytest.mark.parametrize("use_shift,has_mod,n", [
+    (True, True, 2),
+    (False, False, 1),
+    (True, False, 3),
+])
+def test_fused_stage_matches_reference(use_shift, has_mod, n):
+    B, H, W, C, nH = 2, 16, 16, 32, 4
+    p = _stage_params(0, n, C, nH, 2 * C)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, H, W, C))
+        .astype(np.float32) * 0.3)
+    kw = dict(scale=0.2, num_heads=nH, use_shift=use_shift,
+              has_mod=has_mod)
+    want = stage_reference(x, p, **kw)
+    got = fused_stage(x, p, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_basiclayer_megakernel_matches_jnp_backend():
+    """BasicLayer with the pallas backend (megakernel, interpret on CPU)
+    == the jnp per-block path with shared params."""
+    kw = dict(dim=128, depth=2, num_heads=4, win_size=8, resolution=16,
+              mlp_ratio=2.0, token_mlp="leff", modulator=True,
+              shift_flag=True)
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 16, 16, 128))
+        .astype(np.float32) * 0.2)
+    l_jnp = BasicLayer(attn_backend="jnp", **kw)
+    l_meg = BasicLayer(attn_backend="pallas", **kw)
+    params = l_jnp.init(jax.random.PRNGKey(0), x)
+    p2 = l_meg.init(jax.random.PRNGKey(0), x)
+    # identical param trees (names and shapes) between the two paths
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(p2)
+    assert [(jax.tree_util.keystr(k), v.shape) for k, v in flat1] == \
+        [(jax.tree_util.keystr(k), v.shape) for k, v in flat2]
+    want = l_jnp.apply(params, x)
+    got = l_meg.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)

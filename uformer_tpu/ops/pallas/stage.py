@@ -1,0 +1,336 @@
+"""Whole-stage megakernel: EVERY LeWin block of a Uformer stage (attention
+sub-block + LeFF sub-block, `depth` blocks) as ONE Pallas kernel.
+
+Covers reference `BasicUformerLayer.forward` (`/root/reference/model.py:
+1054-1060`: the for-blk loop over LeWinTransformerBlock) for the
+deterministic path on small-resolution stages.
+
+Why: at 16²-64² resolutions (enc2/enc3/bottleneck/dec0/dec1 — 28 of
+Uformer_B's 40 blocks) each block's compute is tens of microseconds, so
+per-kernel launch overhead, per-kernel weight DMA ramp, and the serial
+MXU->VPU phase structure dominate — the round-2 per-kernel design ran
+these stages at 3-10x their MXU floor. Here the whole image lives in a
+VMEM scratch across the entire stage:
+
+  * grid = (depth, B), block index OUTER: each block's weights are
+    DMA'd once and stay VMEM-resident for all B images; activations
+    never touch HBM between blocks (input read once, output written
+    once per image).
+  * The alternating SW-MSA shift (reference model.py:1026-1037) is
+    handled with a TRACED shift scalar: the image is rolled by the
+    constant win/2 and selected against the unrolled copy, and the
+    shift-region mask is index arithmetic (`_region_ids`) that
+    degenerates to the plain window-pairing mask when shift == 0 —
+    one kernel body serves both parities.
+  * Whole-image layout: window partition/reverse are free sublane/outer
+    reshapes (C % 128 == 0 keeps the lane dim untouched); the LeFF
+    conv ring is an in-VMEM zero pad; no halo recompute anywhere.
+
+Weights arrive stacked along a leading `depth` axis (the flax param
+trees of the per-block modules are identical to the unfused path, so
+checkpoints are unaffected; stacking is one cheap XLA concat per stage).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from uformer_tpu.ops.pallas.attention_block import _region_ids
+from uformer_tpu.ops.pallas.leff import _gelu
+
+
+@functools.lru_cache(maxsize=None)
+def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
+                       has_mod, out_dtype):
+    """One kernel per stage geometry. win == 8, C % 128 == 0 (on TPU)."""
+    W8 = W // 8
+    H8 = H // 8
+    T = H8 * W8          # windows per image
+    P = g * 64
+    nG = nH // hg
+    s = 4                # win // 2; applied iff the traced parity says so
+    f32 = jnp.float32
+
+    def winchain(rows8):
+        y = rows8.reshape(8, W8, 8, C).transpose(1, 0, 2, 3)
+        return y.reshape(W8, 64, C)
+
+    def winchain_inv(wins):
+        y = wins.reshape(W8, 8, 8, C).transpose(1, 0, 2, 3)
+        return y.reshape(8, W, C)
+
+    def ln(img, s_ref, b_ref):
+        xf = img.astype(f32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+                * s_ref[0].astype(f32)
+                + b_ref[0].astype(f32)).astype(img.dtype)
+
+    def kernel(x_ref, ln1_s_ref, ln1_b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+               wv_ref, bv_ref, wo_ref, bo_ref, bias_ref, mod_ref,
+               ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
+               w2_ref, b2_ref, o_ref, xs_ref, hid_ref):
+        j = pl.program_id(0)
+        b = pl.program_id(1)
+        cheap = out_dtype == jnp.bfloat16
+
+        @pl.when(j == 0)
+        def _load():
+            xs_ref[b] = x_ref[0]
+
+        xcur = xs_ref[b]  # (H, W, C)
+        prec = (jax.lax.Precision.HIGHEST
+                if xcur.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        if use_shift:
+            shifted = (j % 2) == 1
+        else:
+            shifted = jnp.bool_(False)
+
+        # ---------- attention sub-block: x += Proj(Attn(LN1(x))) ----------
+        xa = ln(xcur, ln1_s_ref, ln1_b_ref)
+        if use_shift:
+            rolled = jnp.roll(jnp.roll(xa, -s, axis=0), -s, axis=1)
+            xa = jnp.where(shifted, rolled, xa)
+        tok = jnp.concatenate(
+            [winchain(xa[8 * k:8 * k + 8]) for k in range(H8)],
+            axis=0).reshape(T * 64, C)
+        if has_mod:
+            tok = (tok.reshape(T, 64, C)
+                   + mod_ref[0][None].astype(tok.dtype)).reshape(T * 64, C)
+
+        # mask: window id + shift regions folded into one region id; with
+        # shift == 0 the region id is constant within each window, so the
+        # same expression is the plain pairing mask
+        sh = jnp.where(shifted, s, 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
+        wloc = rows * g + cols // 64
+        n_off = cols % 64
+        k_idx = wloc // W8
+        j_idx = wloc - k_idx * W8
+        rh = _region_ids(8, sh, H, k_idx, n_off // 8)
+        rw = _region_ids(8, sh, W, j_idx, n_off % 8)
+        rid = wloc * 9 + rh * 3 + rw
+        neq = (rid[:, :, None] != rid[:, None, :]).astype(f32)
+        smask = neq * jnp.float32(-100.0)
+
+        out = jnp.zeros((T * 64, C), f32)
+        for gi in range(nG):
+            def proj(w_ref, b_ref):
+                y = jax.lax.dot_general(
+                    tok, w_ref[0, gi],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=prec)
+                return (y + b_ref[0, gi, 0].astype(f32)).astype(tok.dtype)
+
+            qg = proj(wq_ref, bq_ref)
+            kg = proj(wk_ref, bk_ref)
+            vg = proj(wv_ref, bv_ref)
+            o_parts = []
+            for hh in range(hg):
+                h = gi * hg + hh
+                sl = slice(hh * D, (hh + 1) * D)
+                q = qg[:, sl].reshape(T // g, P, D)
+                k = kg[:, sl].reshape(T // g, P, D)
+                v = vg[:, sl].reshape(T // g, P, D)
+                bias_h = bias_ref[0, h]
+                if g > 1:
+                    bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                    bias_h = jnp.concatenate([bias_h] * g, axis=-2)
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=prec)
+                logits = logits * scale + bias_h[None] + smask
+                probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
+                o_parts.append(jax.lax.dot_general(
+                    probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32, precision=prec,
+                ).astype(tok.dtype))
+            og = (o_parts[0] if hg == 1
+                  else jnp.concatenate(o_parts, axis=-1))
+            out = out + jax.lax.dot_general(
+                og.reshape(T * 64, hg * D), wo_ref[0, gi],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+        out = (out + bo_ref[0].astype(f32)).astype(xcur.dtype)
+        out = out.reshape(T, 64, C)
+        img = jnp.concatenate(
+            [winchain_inv(out[k * W8:(k + 1) * W8]) for k in range(H8)],
+            axis=0)
+        if use_shift:
+            unrolled = jnp.roll(jnp.roll(img, s, axis=0), s, axis=1)
+            img = jnp.where(shifted, unrolled, img)
+        xcur = xcur + img
+
+        # ---------- LeFF sub-block: x += L2(g(DW(g(L1(LN2(x)))))) ----------
+        tok2 = ln(xcur, ln2_s_ref, ln2_b_ref).reshape(H * W, C)
+        hcore = jax.lax.dot_general(
+            tok2, w1_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        hcore = _gelu(hcore + b1_ref[0].astype(f32), cheap=cheap) \
+            .astype(xcur.dtype).reshape(H, W, Ch)
+        zrow = jnp.zeros((1, W + 2, Ch), xcur.dtype)
+        zcol = jnp.zeros((H, 1, Ch), xcur.dtype)
+        hid_ref[0:1] = zrow
+        hid_ref[H + 1:H + 2] = zrow
+        hid_ref[1:H + 1] = jnp.concatenate([zcol, hcore, zcol], axis=1)
+        acc = jnp.zeros((H, W, Ch), f32)
+        for dy in range(3):
+            rows3 = hid_ref[dy:dy + H]
+            for dx in range(3):
+                acc += rows3[:, dx:dx + W].astype(f32) * \
+                    wd_ref[0, dy, dx, :].astype(f32)
+        acc = _gelu(acc + bd_ref[0].astype(f32), cheap=cheap)
+        out2 = jax.lax.dot_general(
+            acc.astype(xcur.dtype).reshape(H * W, Ch), w2_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        out2 = (out2 + b2_ref[0].astype(f32)).astype(xcur.dtype)
+        xcur = xcur + out2.reshape(H, W, C)
+
+        xs_ref[b] = xcur
+
+        @pl.when(j == n - 1)
+        def _store():
+            o_ref[0] = xcur
+
+    return kernel
+
+
+def stage_reference(x, p, *, scale, num_heads, use_shift, has_mod):
+    """jnp reference: the per-block composition of the existing reference
+    functions (tests + the custom-vjp backward of the eval-only path)."""
+    from uformer_tpu.ops.pallas.attention_image import (
+        attention_image_reference,
+    )
+    from uformer_tpu.ops.pallas.leff import leff_reference
+
+    n = p["wq"].shape[0]
+    win = 8
+    for j in range(n):
+        shift = 4 if (use_shift and j % 2 == 1) else 0
+        wkv = jnp.concatenate([p["wk"][j], p["wv"][j]], axis=1)
+        bkv = jnp.concatenate([p["bk"][j], p["bv"][j]])
+        x = attention_image_reference(
+            x, p["mod"][j] if has_mod else None, p["ln1_s"][j],
+            p["ln1_b"][j], p["wq"][j], p["bq"][j], wkv, bkv, p["wo"][j],
+            p["bo"][j], p["bias"][j], win=win, shift=shift, scale=scale,
+            num_heads=num_heads, has_ln=True, residual=True)
+        x = leff_reference(
+            x, p["w1"][j], p["b1"][j], p["wd"][j], p["bd"][j], p["w2"][j],
+            p["b2"][j], ln_s=p["ln2_s"][j], ln_b=p["ln2_b"][j],
+            residual=True)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "num_heads", "use_shift", "has_mod", "interpret", "vmem_mb"))
+def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
+                interpret=False, vmem_mb=0):
+    """x: (B, H, W, C); p: dict of per-block-stacked weights:
+    ln1_s/ln1_b (n, C), wq (n, C, C), bq (n, C), wk/wv (n, C, C),
+    bk/bv (n, C), wo (n, C, C), bo (n, C), bias (n, nH, 64, 64) fp32,
+    mod (n, 64, C), ln2_s/ln2_b (n, C), w1 (n, C, Ch), b1 (n, Ch),
+    wd (n, 3, 3, Ch), bd (n, Ch), w2 (n, Ch, C), b2 (n, C).
+
+    Requires win == 8, H % 8 == W % 8 == 0 and (on TPU) C % 128 == 0."""
+    B, H, W, C = x.shape
+    n = p["wq"].shape[0]
+    Ch = p["w1"].shape[2]
+    nH = num_heads
+    D = C // nH
+    if H % 8 or W % 8:
+        raise ValueError(f"H={H}, W={W} must be multiples of 8")
+    if C % 128 and not interpret:
+        raise ValueError(f"stage kernel requires C % 128 == 0, got {C}")
+    hg = min(nH, max(1, 128 // D))
+    while nH % hg:
+        hg -= 1
+    nG = nH // hg
+    T = (H // 8) * (W // 8)
+    g = 2 if T % 2 == 0 else 1
+
+    grp = lambda w: w.reshape(n, C, nG, hg * D).transpose(0, 2, 1, 3)  # noqa
+    grb = lambda v: v.reshape(n, nG, 1, hg * D)  # noqa: E731
+    # per-block vectors carry a dummy sublane axis: a (1, X) block of an
+    # (n, X) array violates the TPU (8, 128)-divisible block rule
+    vec = lambda v: v.reshape(n, 1, v.shape[-1])  # noqa: E731
+    args = (x,
+            vec(p["ln1_s"]), vec(p["ln1_b"]),
+            grp(p["wq"]), grb(p["bq"]), grp(p["wk"]), grb(p["bk"]),
+            grp(p["wv"]), grb(p["bv"]),
+            p["wo"].reshape(n, nG, hg * D, C), vec(p["bo"]),
+            p["bias"].astype(jnp.float32), p["mod"],
+            vec(p["ln2_s"]), vec(p["ln2_b"]),
+            p["w1"], vec(p["b1"]), p["wd"], vec(p["bd"]), p["w2"],
+            vec(p["b2"]))
+
+    kernel = _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g,
+                                float(scale), use_shift, has_mod, x.dtype)
+
+    def wspec(a):
+        shape = (1,) + a.shape[1:]
+        nz = (0,) * (a.ndim - 1)
+        return pl.BlockSpec(shape, lambda j, b: (j,) + nz,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec((1, H, W, C), lambda j, b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [wspec(a) for a in args[1:]]
+    return pl.pallas_call(
+        kernel,
+        grid=(n, B),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H, W, C), lambda j, b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, H, W, C), x.dtype),
+            pltpu.VMEM((H + 2, W + 2, Ch), x.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=(vmem_mb or 100) * 2**20)
+            if not interpret else None),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * B * H * W * C * (4 * C + 2 * 64 + 8 * C)
+            + 2 * n * B * H * W * Ch * 9,
+            bytes_accessed=2 * B * H * W * C * x.dtype.itemsize
+            + 12 * n * C * C * x.dtype.itemsize,
+            transcendentals=n * B * H * W * (nH + 2 * Ch // C),
+        ),
+    )(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_ad_factory(scale, num_heads, use_shift, has_mod, interpret):
+    kw = dict(scale=scale, num_heads=num_heads, use_shift=use_shift,
+              has_mod=has_mod)
+
+    @jax.custom_vjp
+    def f(x, p):
+        return fused_stage(x, p, interpret=interpret, **kw)
+
+    def fwd(x, p):
+        return f(x, p), (x, p)
+
+    def bwd(res, g):
+        x, p = res
+        _, vjp = jax.vjp(lambda x, p: stage_reference(x, p, **kw), x, p)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_stage_ad(x, p, *, scale, num_heads, use_shift, has_mod,
+                   interpret=False):
+    """Differentiable wrapper (eval path: Pallas forward, jnp VJP)."""
+    return _stage_ad_factory(float(scale), num_heads, use_shift, has_mod,
+                             interpret)(x, p)
