@@ -52,13 +52,15 @@ class PairedTrainDataset:
     """
 
     def __init__(self, data_dir: str, patch_size: int = 128, seed: int = 1234,
-                 native: object = "auto"):
+                 native: object = "auto", decode_threads: int = 8):
         self.gt_files = _list_images(os.path.join(data_dir, "groundtruth"))
         self.in_files = _list_images(os.path.join(data_dir, "input"))
         assert len(self.gt_files) == len(self.in_files) and self.gt_files, \
             f"no paired data under {data_dir}"
         self.ps = patch_size
         self.rng = np.random.default_rng(seed)
+        self.decode_threads = decode_threads
+        self._decode_pool = None
         if native == "auto":
             from uformer_tpu.data.native import native_available
 
@@ -71,19 +73,33 @@ class PairedTrainDataset:
 
         return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
 
+    def _pool(self):
+        # cv2.imread releases the GIL during PNG decode, so a thread pool
+        # parallelizes the decode-dominated part of real data loading
+        # (reference: 4 torch workers, train_denoise.py:128).
+        if self._decode_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=self.decode_threads)
+        return self._decode_pool
+
     def get_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched fused path (C++ when available)."""
+        """Batched fused path: threaded decode + C++ crop/aug/normalize
+        when available."""
         if not self.use_native:
-            samples = [self[i] for i in indices]
+            samples = list(self._pool().map(self.__getitem__, indices))
             return (np.stack([s[0] for s in samples]),
                     np.stack([s[1] for s in samples]))
         from uformer_tpu.data.native import augment_pair_batch
 
-        gts, nys, rows, cols, ks = [], [], [], [], []
         ps = self.ps
-        for i in indices:
-            g = self._load_u8(self.gt_files[i])
-            n = self._load_u8(self.in_files[i])
+        paths = [self.gt_files[i] for i in indices] + \
+            [self.in_files[i] for i in indices]
+        imgs = list(self._pool().map(self._load_u8, paths))
+        gts, nys, rows, cols, ks = [], [], [], [], []
+        for j in range(len(indices)):
+            g, n = imgs[j], imgs[len(indices) + j]
             H, W = g.shape[:2]
             if H < ps or W < ps:
                 g = np.pad(g, ((0, max(0, ps - H)), (0, max(0, ps - W)),

@@ -71,5 +71,8 @@ def summarize_trace(trace_dir: str, top: int = 20):
             name = e.get("name", "")
             if name.startswith("jit_"):
                 continue
-            groups[re.sub(r"[.\d]+$", "", name)] += e.get("dur", 0) / 1e3
+            fam = re.sub(r"[.\d]+$", "", name)
+            if not fam:  # pure-numeric names are whole-program events,
+                continue  # not ops — counting them double-counts the step
+            groups[fam] += e.get("dur", 0) / 1e3
     return dict(sorted(groups.items(), key=lambda kv: -kv[1])[:top])
