@@ -19,4 +19,32 @@ Design stance (vs the torch reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt-out: UFORMER_TPU_NO_CACHE=1).
+
+    The flagship model compiles ~40 s cold on TPU; the cache makes every
+    later process start warm. Set before any jit trace so the first
+    compile of the process already populates it.
+    """
+    if _os.environ.get("UFORMER_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "uformer_tpu_xla"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort; never block import
+        pass
+
+
+_enable_compilation_cache()
+
 from uformer_tpu.models.registry import get_arch, ARCHS  # noqa: F401

@@ -248,6 +248,109 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
     return kernel
 
 
+def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
+                          p):
+    """Whole-image batch-tiled forward: Bt small images per grid step (an
+    unrolled in-kernel loop sharing one hidden scratch). At 8²-64² stage
+    geometries the row-tiled kernel degenerates to one tiny tile per step
+    and per-step overhead dominates; here a step amortizes it over Bt
+    images and needs no halo logic at all (the conv ring is an in-VMEM
+    zero pad per image)."""
+    cheap = out_dtype == jnp.bfloat16
+    cq = C // p
+    chq = Ch // p
+    f32 = jnp.float32
+
+    def tap(hs, ddx):
+        if p == 1:
+            return hs[:, ddx:ddx + W]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
+        ctr = hs[:, 1:W + 1]
+        if ddx == 1:
+            return ctr
+        if ddx == 0:
+            A = jnp.roll(hs, chq, axis=2)
+            return jnp.where(lane < chq, A[:, 0:W], A[:, 1:W + 1])
+        Bv = jnp.roll(hs, -chq, axis=2)
+        return jnp.where(lane >= (p - 1) * chq, Bv[:, 2:W + 2],
+                         Bv[:, 1:W + 1])
+
+    def ln_apply(tok, ln_s, ln_b, prec):
+        if not has_ln:
+            return tok
+        tf = tok.astype(f32)
+        if p == 1:
+            mu = tf.mean(-1, keepdims=True)
+            var = tf.var(-1, keepdims=True)
+            that = (tf - mu) * jax.lax.rsqrt(var + 1e-5)
+        else:
+            li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+            lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+            mmat = jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0) \
+                .astype(tok.dtype)
+            mu = jax.lax.dot_general(
+                tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            cen = tf - mu
+            cb = cen.astype(tok.dtype)
+            var = jax.lax.dot_general(
+                cb * cb, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            that = cen * jax.lax.rsqrt(var + 1e-5)
+        return (that * ln_s.astype(f32) + ln_b.astype(f32)) \
+            .astype(tok.dtype)
+
+    def kernel(xm_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
+               w2_ref, b2_ref, o_ref, hid_ref):
+        for bi in range(Bt):
+            xi = xm_ref[bi]  # (H, W, C)
+            prec = (jax.lax.Precision.HIGHEST if xi.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+            tok = ln_apply(xi.reshape(H * W, C), ln_s_ref[:], ln_b_ref[:],
+                           prec)
+            h = jax.lax.dot_general(
+                tok, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            h = _gelu(h + b1_ref[:].astype(f32), cheap=cheap) \
+                .astype(xi.dtype).reshape(H, W, Ch)
+            zcol = jnp.zeros((H, 1, Ch), xi.dtype)
+            hid_ref[0:1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+            hid_ref[1:H + 1] = jnp.concatenate([zcol, h, zcol], axis=1)
+            hid_ref[H0 + 1:H + 2] = jnp.zeros((H - H0 + 1, W + 2, Ch),
+                                              xi.dtype)
+            acc = jnp.zeros((H, W, Ch), f32)
+            for dy in range(3):
+                rows3 = hid_ref[dy:dy + H]
+                for dx in range(3):
+                    acc += tap(rows3, dx).astype(f32) * \
+                        wd_ref[dy, dx, :].astype(f32)
+            acc = _gelu(acc + bd_ref[:].astype(f32), cheap=cheap)
+            out = jax.lax.dot_general(
+                acc.astype(xi.dtype).reshape(H * W, Ch), w2_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            out = (out + b2_ref[:].astype(f32)).reshape(H, W, C)
+            if residual:
+                out = out + xi.astype(f32)
+            o_ref[bi] = out.astype(out_dtype)
+
+    return kernel
+
+
+def _smallimg_bt(B, H, W, C, Ch, itemsize, n_tiles=2, scratch_mb=4):
+    """Pick a batch tile for whole-image mode, or 0 to use row tiling:
+    the per-image hidden scratch must be small and Bt images' I/O tiles
+    must fit comfortably."""
+    scratch = (H + 2) * (W + 2) * max(Ch, 128) * itemsize
+    if scratch > scratch_mb * 2**20:
+        return 0
+    per_img = H * W * max(C, 128) * itemsize * n_tiles
+    bt = max(1, min(B, (8 * 2**20) // max(per_img, 1)))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
 def _pick_th(H: int, W: int, Ch: int, itemsize: int,
              budget: int | None = None, C: int = 0) -> int:
     """Tile height: the hidden tile (Th+2, W+2, Ch) dominates VMEM; keep it
@@ -497,11 +600,178 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
     return kernel
 
 
+def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
+                              x_dtype, p):
+    """Whole-image batch-tiled backward: Bt images per grid step, no halo
+    logic (ring zeros per image), fp32 weight-grad accumulators in
+    constant-index output blocks."""
+    cheap = x_dtype == jnp.bfloat16
+    cq = C // p
+    chq = Ch // p
+    f32 = jnp.float32
+
+    def tap(hs, ddx):
+        if p == 1:
+            return hs[:, ddx:ddx + W]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
+        ctr = hs[:, 1:W + 1]
+        if ddx == 1:
+            return ctr
+        if ddx == 0:
+            A = jnp.roll(hs, chq, axis=2)
+            return jnp.where(lane < chq, A[:, 0:W], A[:, 1:W + 1])
+        Bv = jnp.roll(hs, -chq, axis=2)
+        return jnp.where(lane >= (p - 1) * chq, Bv[:, 2:W + 2],
+                         Bv[:, 1:W + 1])
+
+    def _group_mean_mat(dtype):
+        li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        return jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0).astype(dtype)
+
+    def ln_apply(tok, ln_s, ln_b, prec):
+        if not has_ln:
+            return tok, None, None
+        tf = tok.astype(f32)
+        if p == 1:
+            mu = tf.mean(-1, keepdims=True)
+            var = tf.var(-1, keepdims=True)
+            rsig = jax.lax.rsqrt(var + 1e-5)
+            that = (tf - mu) * rsig
+        else:
+            mmat = _group_mean_mat(tok.dtype)
+            mu = jax.lax.dot_general(
+                tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            cen = tf - mu
+            cb = cen.astype(tok.dtype)
+            var = jax.lax.dot_general(
+                cb * cb, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            rsig = jax.lax.rsqrt(var + 1e-5)
+            that = cen * rsig
+        t = (that * ln_s.astype(f32) + ln_b.astype(f32)).astype(tok.dtype)
+        return t, that, rsig
+
+    def group_mean(v, prec):
+        if p == 1:
+            return v.mean(-1, keepdims=True)
+        mmat = _group_mean_mat(x_dtype)
+        return jax.lax.dot_general(
+            v.astype(x_dtype), mmat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+
+    def kernel(xm_ref, dym_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref,
+               wd_ref, bd_ref, w2_ref,
+               dx_ref, dw1_ref, db1_ref, dwd_ref, dbd_ref, dw2_ref,
+               db2_ref, dls_ref, dlb_ref, a1e_ref, dhce_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in (dw1_ref, db1_ref, dwd_ref, dbd_ref, dw2_ref,
+                      db2_ref, dls_ref, dlb_ref):
+                r[:] = jnp.zeros(r.shape, r.dtype)
+
+        for bi in range(Bt):
+            xi = xm_ref[bi]
+            prec = (jax.lax.Precision.HIGHEST if xi.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+            dyi = dym_ref[bi]
+            if H != H0:
+                ri = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
+                dyi = jnp.where(ri < H0, dyi, 0)
+
+            # phase 1: a1 (post-act) with ring + pad-row zeros
+            tok, that, rsig = ln_apply(xi.reshape(H * W, C), ln_s_ref[:],
+                                       ln_b_ref[:], prec)
+            h1 = jax.lax.dot_general(
+                tok, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec) \
+                + b1_ref[:].astype(f32)
+            a1 = _gelu(h1, cheap=cheap).astype(xi.dtype).reshape(H, W, Ch)
+            zcol = jnp.zeros((H, 1, Ch), xi.dtype)
+            a1e_ref[0:1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+            a1e_ref[1:H + 1] = jnp.concatenate([zcol, a1, zcol], axis=1)
+            a1e_ref[H0 + 1:H + 2] = jnp.zeros((H - H0 + 1, W + 2, Ch),
+                                              xi.dtype)
+
+            # phase 2: hc -> dhc; dw2/db2/dwd/dbd
+            g2 = jax.lax.dot_general(
+                dyi.reshape(H * W, C), w2_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            acc = jnp.zeros((H, W, Ch), f32)
+            for ddy in range(3):
+                rows3 = a1e_ref[ddy:ddy + H]
+                for ddx in range(3):
+                    acc += tap(rows3, ddx).astype(f32) * \
+                        wd_ref[ddy, ddx, :].astype(f32)
+            hc = acc + bd_ref[:].astype(f32)
+            dhc = _dgelu(hc, cheap=cheap) * g2.reshape(H, W, Ch)
+            dhce_ref[0:1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+            dhce_ref[1:H + 1] = jnp.concatenate(
+                [zcol, dhc.astype(xi.dtype), zcol], axis=1)
+            dhce_ref[H + 1:H + 2] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+
+            a2 = _gelu(hc, cheap=cheap).astype(xi.dtype)
+            dw2_ref[:] += jax.lax.dot_general(
+                a2.reshape(H * W, Ch), dyi.reshape(H * W, C),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            db2_ref[:] += jnp.sum(dyi.astype(f32), axis=(0, 1)) \
+                .reshape(1, C)
+            dbd_ref[:] += jnp.sum(dhc, axis=(0, 1)).reshape(1, Ch)
+            for ddy in range(3):
+                rows3 = a1e_ref[ddy:ddy + H]
+                for ddx in range(3):
+                    a1t = tap(rows3, ddx).astype(f32)
+                    dwd_ref[ddy, ddx, :] += jnp.sum(a1t * dhc,
+                                                    axis=(0, 1))
+
+            # phase 3: da1 -> dh1 -> dw1/db1/dt -> LN bwd -> dx
+            da1 = jnp.zeros((H, W, Ch), f32)
+            for ddy in range(3):
+                rows3 = dhce_ref[2 - ddy:2 - ddy + H]
+                for ddx in range(3):
+                    da1 += tap(rows3, 2 - ddx).astype(f32) * \
+                        wd_ref[ddy, ddx, :].astype(f32)
+            dh1 = da1.reshape(H * W, Ch) * _dgelu(h1, cheap=cheap)
+            if H != H0:
+                ro = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
+                dh1 = jnp.where(ro < H0, dh1.reshape(H, W, Ch), 0) \
+                    .reshape(H * W, Ch)
+            dh1c = dh1.astype(xi.dtype)
+            dw1_ref[:] += jax.lax.dot_general(
+                tok, dh1c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            db1_ref[:] += jnp.sum(dh1, axis=0).reshape(1, Ch)
+            dt = jax.lax.dot_general(
+                dh1c, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            if has_ln:
+                dls_ref[:] += jnp.sum(dt * that, axis=0).reshape(1, C)
+                dlb_ref[:] += jnp.sum(dt, axis=0).reshape(1, C)
+                dth = dt * ln_s_ref[:].astype(f32)
+                m1 = group_mean(dth, prec)
+                m2 = group_mean(dth * that, prec)
+                dxv = (dth - m1 - that * m2) * rsig
+            else:
+                dxv = dt
+            dxv = dxv.reshape(H, W, C)
+            if residual:
+                dxv = dxv + dyi.astype(f32)
+            dx_ref[bi] = dxv.astype(xi.dtype)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("has_ln", "residual",
-                                             "interpret", "vmem_mb"))
+                                             "interpret", "vmem_mb",
+                                             "smallimg"))
 def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
                    has_ln: bool = True, residual: bool = False,
-                   interpret: bool = False, vmem_mb: int = 0):
+                   interpret: bool = False, vmem_mb: int = 0,
+                   smallimg: bool = True):
     """VJP of the fused LeFF pipeline as ONE Pallas kernel.
 
     Returns (dx, dw1, db1, dwd, dbd, dw2, db2, dln_s, dln_b); weight
@@ -536,6 +806,58 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
         x = jnp.pad(x, pad)
         dy = jnp.pad(dy, pad)
         H = Hp
+    f32 = jnp.float32
+    bt = (_smallimg_bt(B, H, W, C, Ch, x.dtype.itemsize, n_tiles=3,
+                       scratch_mb=2) if smallimg else 0)
+    if bt:
+        kernel = _make_smallimg_bwd_kernel(bt, H0, H, W, C, Ch, has_ln,
+                                           residual, x.dtype, p)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def btile():
+            return pl.BlockSpec((bt, H, W, C), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def const(*shape):
+            zeros = (0,) * len(shape)
+            return pl.BlockSpec(shape, lambda i: zeros,
+                                memory_space=pltpu.VMEM)
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // bt,),
+            in_specs=[btile(), btile(),          # x, dy
+                      vmem, vmem,                # ln_s, ln_b
+                      vmem, vmem, vmem, vmem, vmem],  # w1, b1, wd, bd, w2
+            out_specs=[
+                btile(),
+                const(C, Ch), const(1, Ch), const(3, 3, Ch), const(1, Ch),
+                const(Ch, C), const(1, C), const(1, C), const(1, C),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+                jax.ShapeDtypeStruct((C, Ch), f32),
+                jax.ShapeDtypeStruct((1, Ch), f32),
+                jax.ShapeDtypeStruct((3, 3, Ch), f32),
+                jax.ShapeDtypeStruct((1, Ch), f32),
+                jax.ShapeDtypeStruct((Ch, C), f32),
+                jax.ShapeDtypeStruct((1, C), f32),
+                jax.ShapeDtypeStruct((1, C), f32),
+                jax.ShapeDtypeStruct((1, C), f32),
+            ],
+            scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Ch), x.dtype),
+                            pltpu.VMEM((H + 2, W + 2, Ch), x.dtype)],
+            interpret=interpret,
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=50 * 2**20) if not interpret else None),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * B * H * W * Ch * (2 * C + 9),
+                bytes_accessed=3 * B * H * W * C * x.dtype.itemsize,
+                transcendentals=4 * B * H * W * Ch,
+            ),
+        )(x, dy, ln_s, ln_b, w1, b1, wd, bd, w2)
+        return _unpack_bwd_outs(outs, B, H, H0, W, C, Ch, C0, Ch0, p)
+
     budget = (vmem_mb * 2**20) if vmem_mb else 24 * 2**20
     # two hidden-size scratches + several fp32 hidden temps per row
     per_row = (W + 2) * max(Ch, 128) * (2 * x.dtype.itemsize + 20) \
@@ -602,6 +924,11 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
             transcendentals=4 * B * H * W * Ch,
         ),
     )(x, x, x, dy, dy, dy, ln_s, ln_b, w1, b1, wd, bd, w2)
+    return _unpack_bwd_outs(outs, B, H, H0, W, C, Ch, C0, Ch0, p)
+
+
+def _unpack_bwd_outs(outs, B, H, H0, W, C, Ch, C0, Ch0, p):
+    """Crop dx, fold packed weight grads back to true shapes."""
     dx, dw1, db1, dwd, dbd, dw2, db2, dls, dlb = outs
     if H != H0:
         dx = dx[:, :H0]
@@ -681,11 +1008,11 @@ def fused_leff_ad(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None,
 
 @functools.partial(jax.jit, static_argnames=("residual", "interpret",
                                               "chunk_target", "conv_f32",
-                                              "vmem_mb"))
+                                              "vmem_mb", "smallimg"))
 def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
                residual: bool = False, interpret: bool = False,
                chunk_target: int = 1, conv_f32: bool = True,
-               vmem_mb: int = 0):
+               vmem_mb: int = 0, smallimg: bool = True):
     """x: (B, H, W, C); returns (B, H, W, C). SAME-padded 3x3 depthwise.
     Optional ln_s/ln_b fold a preceding per-token LayerNorm in;
     residual=True returns x + LeFF(LN(x)) — the whole sub-block in one
@@ -725,6 +1052,41 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
         Hp = (H + 7) // 8 * 8
         x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
         H = Hp
+
+    bt = _smallimg_bt(B, H, W, C, Ch, x.dtype.itemsize) if smallimg else 0
+    if bt:
+        kernel = _make_smallimg_kernel(bt, H0, H, W, C, Ch, has_ln,
+                                       residual, x.dtype, p)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // bt,),
+            in_specs=[
+                pl.BlockSpec((bt, H, W, C), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vmem, vmem,              # ln_s, ln_b
+                vmem, vmem, vmem, vmem,  # w1, b1, wd, bd
+                vmem, vmem,              # w2, b2
+            ],
+            out_specs=pl.BlockSpec((bt, H, W, C), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Ch), x.dtype)],
+            out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+            interpret=interpret,
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=50 * 2**20) if not interpret else None),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * H * W * Ch * (2 * C + 9),
+                bytes_accessed=3 * B * H * W * C * x.dtype.itemsize,
+                transcendentals=2 * B * H * W * Ch,
+            ),
+        )(x, ln_s, ln_b, w1, b1, wd, bd, w2, b2)
+        if H != H0:
+            out = out[:, :H0]
+        if p > 1:
+            out = out.reshape(B, H0, W * p, C // p)
+        return out
+
     budget = (vmem_mb * 2**20) if vmem_mb else None
     Th = _pick_th(H, W, Ch, x.dtype.itemsize, budget=budget, C=C)
     nT = H // Th

@@ -46,7 +46,7 @@ from uformer_tpu.ops.pallas.leff import _gelu
 
 @functools.lru_cache(maxsize=None)
 def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
-                       has_mod, out_dtype):
+                       has_mod, out_dtype, parts="both"):
     """One kernel per stage geometry. win == 8, C % 128 == 0 (on TPU)."""
     W8 = W // 8
     H8 = H // 8
@@ -93,6 +93,24 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
             shifted = jnp.bool_(False)
 
         # ---------- attention sub-block: x += Proj(Attn(LN1(x))) ----------
+        if parts in ("both", "attn"):
+            xcur = attn_part(xcur, shifted, prec, ln1_s_ref, ln1_b_ref,
+                             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                             bv_ref, wo_ref, bo_ref, bias_ref, mod_ref)
+        if parts in ("both", "leff"):
+            xcur = leff_part(xcur, prec, cheap, ln2_s_ref, ln2_b_ref,
+                             w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
+                             b2_ref, hid_ref)
+
+        xs_ref[b] = xcur
+
+        @pl.when(j == n - 1)
+        def _store():
+            o_ref[0] = xcur
+
+    def attn_part(xcur, shifted, prec, ln1_s_ref, ln1_b_ref, wq_ref,
+                  bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                  bias_ref, mod_ref):
         xa = ln(xcur, ln1_s_ref, ln1_b_ref)
         if use_shift:
             rolled = jnp.roll(jnp.roll(xa, -s, axis=0), -s, axis=1)
@@ -166,9 +184,11 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
         if use_shift:
             unrolled = jnp.roll(jnp.roll(img, s, axis=0), s, axis=1)
             img = jnp.where(shifted, unrolled, img)
-        xcur = xcur + img
+        return xcur + img
 
-        # ---------- LeFF sub-block: x += L2(g(DW(g(L1(LN2(x)))))) ----------
+    # ---------- LeFF sub-block: x += L2(g(DW(g(L1(LN2(x)))))) ----------
+    def leff_part(xcur, prec, cheap, ln2_s_ref, ln2_b_ref, w1_ref, b1_ref,
+                  wd_ref, bd_ref, w2_ref, b2_ref, hid_ref):
         tok2 = ln(xcur, ln2_s_ref, ln2_b_ref).reshape(H * W, C)
         hcore = jax.lax.dot_general(
             tok2, w1_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -192,13 +212,7 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=prec)
         out2 = (out2 + b2_ref[0].astype(f32)).astype(xcur.dtype)
-        xcur = xcur + out2.reshape(H, W, C)
-
-        xs_ref[b] = xcur
-
-        @pl.when(j == n - 1)
-        def _store():
-            o_ref[0] = xcur
+        return xcur + out2.reshape(H, W, C)
 
     return kernel
 
@@ -230,9 +244,10 @@ def stage_reference(x, p, *, scale, num_heads, use_shift, has_mod):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "scale", "num_heads", "use_shift", "has_mod", "interpret", "vmem_mb"))
+    "scale", "num_heads", "use_shift", "has_mod", "interpret", "vmem_mb",
+    "parts"))
 def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
-                interpret=False, vmem_mb=0):
+                interpret=False, vmem_mb=0, parts="both"):
     """x: (B, H, W, C); p: dict of per-block-stacked weights:
     ln1_s/ln1_b (n, C), wq (n, C, C), bq (n, C), wk/wv (n, C, C),
     bk/bv (n, C), wo (n, C, C), bo (n, C), bias (n, nH, 64, 64) fp32,
@@ -272,7 +287,8 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
             vec(p["b2"]))
 
     kernel = _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g,
-                                float(scale), use_shift, has_mod, x.dtype)
+                                float(scale), use_shift, has_mod, x.dtype,
+                                parts)
 
     def wspec(a):
         shape = (1,) + a.shape[1:]
