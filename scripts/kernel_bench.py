@@ -35,7 +35,24 @@ STAGES = [
     ("dec3", 256, 64, 2, 1),
 ]
 
-PEAK = 197e12  # v5e bf16 MXU peak
+# bf16 MXU peak per chip by TPU generation; fallback 197e12 (v5e).
+_PEAKS = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+          "v6 lite": 918e12, "v6e": 918e12}
+
+
+def _detect_peak():
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind.lower()
+        for name, p in _PEAKS.items():
+            if name in kind:
+                return p
+    except Exception:
+        pass
+    return 197e12
+
+
+PEAK = _detect_peak()
 ROWFMT = "{0:<16} {1:8.3f} {2:>5} {3:8.3f} {4:8.2f}"
 ITERS = 30
 

@@ -227,7 +227,9 @@ class Trainer:
                                 epoch, i, opt.dataset, psnr, best_epoch,
                                 best_iter, best_psnr))
 
-                lr = float(self.sched(int(state.step) - 1))
+                # reference logs get_lr() AFTER scheduler.step(), i.e. the
+                # LR the next epoch will run at (train_denoise.py:218-221)
+                lr = float(self.sched(int(state.step)))
                 self.log("Epoch: {}\tTime: {:.4f}\tLoss: {:.4f}\t"
                          "LearningRate {:.6f}".format(
                              epoch, time.time() - t0, float(epoch_loss), lr))
