@@ -83,3 +83,37 @@ def test_convproj_crossmod_output():
     yj = model.apply(params, xj)
     np.testing.assert_allclose(
         np.asarray(yj).transpose(0, 3, 1, 2), y, atol=TOL, rtol=0)
+
+
+def test_uformer_b_flagship_scale():
+    """Parity at the SHIPPED scale (embed_dim 32, B-depths, 128²) without
+    torch: weights regenerate from the committed seed + manifest, so only
+    fp16 activations live in the npz (VERDICT round 2, item 7)."""
+    import json
+
+    from tests.golden.generate import UFORMER_B, seeded_state_dict
+
+    path = os.path.join(GOLDEN_DIR, "uformer_b_128.npz")
+    data = np.load(path)
+    keys_shapes = json.loads(str(data["sd_manifest"]))
+    sd = seeded_state_dict(keys_shapes, int(data["seed"]))
+
+    model = _build(UFORMER_B)
+    params = jax.tree_util.tree_map(jnp.asarray, convert_uformer(sd))
+    xj = jnp.asarray(data["input"].transpose(0, 2, 3, 1))
+    yj, state = model.apply(params, xj, capture_intermediates=True)
+
+    inter = state["intermediates"]
+    for stage in STAGES:
+        got = np.asarray(inter[stage]["__call__"][0])
+        want = _to_nhwc(data[f"act/{stage}"].astype(np.float32))
+        err = np.abs(got - want).max()
+        # activations are recorded fp16: storage quantization is relative
+        # (eps ~ 2^-11), so scale the budget by the stage's magnitude
+        # (deep levels reach |act| ~ 10 after 4 downsample convs)
+        tol = 1e-3 + 1e-3 * float(np.abs(want).max())
+        assert err <= tol, f"stage {stage}: max diff {err} > {tol}"
+
+    np.testing.assert_allclose(
+        np.asarray(yj).transpose(0, 3, 1, 2), data["output"],
+        atol=1e-3, rtol=0)
