@@ -32,6 +32,10 @@ def eval_argparser(description: str) -> argparse.ArgumentParser:
                    help="if >0, use overlapping-crop tiled inference with "
                         "this tile size")
     p.add_argument("--tile_overlap", type=int, default=32)
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="if >0, shard eval over this many devices on a "
+                        "'data' mesh axis: the tile batch is restored in "
+                        "parallel (requires --tile)")
     return p
 
 
@@ -58,6 +62,23 @@ def build_restorer(args):
 
     def fn(x):
         return fwd(params, jnp.asarray(x, jnp.float32))
+
+    if getattr(args, "mesh_data", 0):
+        if not args.tile:
+            raise SystemExit("--mesh_data requires --tile")
+        import numpy as np
+
+        from uformer_tpu.parallel import make_mesh
+        from uformer_tpu.parallel.spatial import tiled_inference_sharded
+
+        mesh = make_mesh(jax.devices()[:args.mesh_data])
+
+        def sharded_fn(x):
+            return tiled_inference_sharded(
+                fn, np.asarray(x), mesh, tile=args.tile,
+                overlap=args.tile_overlap)
+
+        return sharded_fn
 
     if args.tile:
         from uformer_tpu.eval.padding import tiled_inference

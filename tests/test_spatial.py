@@ -80,6 +80,28 @@ def test_sharded_full_model_matches_unsharded_8dev():
     _full_model_case(8, 32, (2, 1, 1, 1, 1, 1, 1, 1, 2))
 
 
+def test_sharded_full_model_pad_and_batch():
+    """Arbitrary H (internal pad) + batch of 2 (vmapped shard_map body)
+    — VERDICT round 2, item 8. Contract: equals the unsharded forward on
+    the identically zero-padded batch, cropped."""
+    n_devices, img_size = 4, 32
+    mesh = make_mesh(jax.devices()[:n_devices])
+    model = Uformer(img_size=img_size, embed_dim=8,
+                    depths=(2, 2, 1, 1, 1, 1, 1, 2, 2),
+                    num_heads=(1, 2, 4, 8, 8, 8, 4, 2, 1), win_size=2,
+                    modulator=True, shift_flag=True, attn_backend="jnp")
+    rng = np.random.default_rng(9)
+    H, W = 24, 28  # neither divisible by 16*win=32 nor by n*win=8
+    x = jnp.asarray(rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32))
+    params = init_params_fast(model, jnp.zeros((1, 32, 32, 3)))
+
+    xp = jnp.pad(x, ((0, 0), (0, 32 - H), (0, 32 - W), (0, 0)))
+    want = np.asarray(model.apply(params, xp))[:, :H, :W]
+    got = np.asarray(run_uformer_spatially_sharded(params, x, mesh, model))
+    assert got.shape == (2, H, W, 3)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_tiled_inference_sharded_identity():
     mesh = make_mesh()
     rng = np.random.default_rng(0)

@@ -379,35 +379,62 @@ def uformer_forward_sharded(params, x, model, *, n_shards: int,
     return y
 
 
-def run_uformer_spatially_sharded(params, img, mesh: Mesh, model):
-    """Drive the FULL Uformer forward over an (H, W, C) image (or
-    (1, H, W, C)) sharded over the mesh's 'data' axis. The whole U-graph —
-    convs, windows, shifts, skips — runs distributed with halo exchange;
-    only the sub-window-row deep levels are replicated (see
-    uformer_forward_sharded)."""
+def run_uformer_spatially_sharded(params, img, mesh: Mesh, model, *,
+                                  pad: bool = True):
+    """Drive the FULL Uformer forward over a (B, H, W, C) batch (or a
+    single (H, W, C) image) sharded over the mesh's 'data' axis. The whole
+    U-graph — convs, windows, shifts, skips — runs distributed with halo
+    exchange; only the sub-window-row deep levels are replicated (see
+    uformer_forward_sharded). Batches vmap the shard_map body (the
+    collectives broadcast over the batch dim).
+
+    With pad=True (default) arbitrary H/W are accepted: the image is
+    zero-padded bottom/right to the divisibility the sharded U-graph
+    needs — the same protocol `eval.padding.pad_to_multiple` applies for
+    the unsharded model (reference test scripts pad to a multiple of 128)
+    — and the output is cropped back. Equality contract: equals
+    `model.apply` on the identically padded image, cropped."""
+    import math
+
     from jax import shard_map
 
-    if img.ndim == 4:
-        assert img.shape[0] == 1
-        img = img[0]
-    H = img.shape[0]
+    if img.ndim == 3:
+        img = img[None]
+    B, H, W = img.shape[:3]
     n = mesh.shape["data"]
     win = model.win_size
-    if H % (n * win) != 0:
-        raise ValueError(
-            f"H={H} must be divisible by n_shards*win = {n}*{win} so each "
-            f"shard holds whole window rows at level 0")
+    # level-0 sharding needs H % (n*win) == 0; the (unsharded) U-graph
+    # itself needs both sides divisible by 16*win (4 stride-2 levels,
+    # whole windows at the bottleneck)
+    h_factor = math.lcm(16 * win, n * win)
+    w_factor = 16 * win
+    Hp = -(-H // h_factor) * h_factor
+    Wp = -(-W // w_factor) * w_factor
+    if (Hp, Wp) != (H, W):
+        if not pad:
+            raise ValueError(
+                f"H={H}, W={W} must be divisible by lcm(16*win, n*win)="
+                f"{h_factor} / 16*win={w_factor}; pass pad=True to pad "
+                "internally")
+        img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
 
     p = params.get("params", params)
     fn = functools.partial(uformer_forward_sharded, model=model,
                            n_shards=n, axis_name="data")
+    if B > 1:
+        fn = jax.vmap(fn, in_axes=(None, 0))
+        specs = (P(), P(None, "data", None, None))
+    else:
+        specs = (P(), P("data", None, None))
     sharded = shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(), P("data", None, None)),
-        out_specs=P("data", None, None),
+        fn, mesh=mesh, in_specs=specs,
+        out_specs=specs[1],
     )
-    img = jax.device_put(img, NamedSharding(mesh, P("data", None, None)))
-    return sharded(p, img)[None]
+    imgs = img if B > 1 else img[0]
+    imgs = jax.device_put(imgs, NamedSharding(mesh, specs[1]))
+    out = sharded(p, imgs)
+    out = out if B > 1 else out[None]
+    return out[:, :H, :W]
 
 
 # ------------------------------------------------ sharded tiled inference
