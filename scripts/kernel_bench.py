@@ -211,10 +211,70 @@ def bench_leff(B):
     return rows
 
 
+def bench_stage(B):
+    """The whole-stage megakernel at the geometries the model routes to it
+    at 256^2/bf16 (enc2/enc3/conv/dec0/dec1): all `depth` blocks in one
+    kernel. `model-ms` is the whole-stage time (depth folded in), so these
+    rows sum directly against bench.py's fused_stage breakdown entry."""
+    import jax.numpy as jnp
+
+    from uformer_tpu.ops.pallas.stage import fused_stage
+
+    rows = []
+    for name, reso, C, nH, depth in STAGES:
+        itemsize = 2
+        Ch = 4 * C
+        if (C % 128 or reso < 8
+                or max(B * reso * reso * C,
+                       (reso + 2) * (reso + 2) * Ch) * itemsize > 24 * 2**20):
+            continue
+        n = depth
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.normal(size=(B, reso, reso, C)).astype(np.float32) * 0.3,
+            jnp.bfloat16)
+        r = lambda *s: jnp.asarray(  # noqa: E731
+            rng.normal(size=s).astype(np.float32) * 0.05, jnp.bfloat16)
+        p = dict(
+            ln1_s=jnp.ones((n, C), jnp.float32),
+            ln1_b=jnp.zeros((n, C), jnp.float32),
+            wq=r(n, C, C), bq=r(n, C), wk=r(n, C, C), bk=r(n, C),
+            wv=r(n, C, C), bv=r(n, C), wo=r(n, C, C), bo=r(n, C),
+            bias=jnp.asarray(rng.normal(size=(n, nH, 64, 64))
+                             .astype(np.float32)),
+            mod=r(n, 64, C),
+            ln2_s=jnp.ones((n, C), jnp.float32),
+            ln2_b=jnp.zeros((n, C), jnp.float32),
+            w1=r(n, C, Ch), b1=r(n, Ch), wd=r(n, 3, 3, Ch), bd=r(n, Ch),
+            w2=r(n, Ch, C), b2=r(n, C))
+
+        for parts in ("both", "attn", "leff"):
+            def call(z, p, reso=reso, nH=nH, C=C, parts=parts):
+                return fused_stage(z, p, scale=(C // nH) ** -0.5,
+                                   num_heads=nH, use_shift=reso > 8,
+                                   has_mod=True, parts=parts)
+            t = measure(call, x, p)
+            part_flops = {
+                "attn": 8 * C * C + 4 * 128 * C,
+                "leff": 16 * C * C + 18 * Ch,
+            }
+            f = (sum(part_flops.values()) if parts == "both"
+                 else part_flops[parts])
+            flops = depth * B * reso * reso * f
+            floor = flops / PEAK
+            row = (f"stage {name} x{depth} {parts}", t * 1e3, 1,
+                   floor * 1e3, t / floor)
+            print(ROWFMT.format(*row), flush=True)
+            if parts == "both":
+                rows.append(row)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--kernel", choices=["attn", "attnimg", "leff", "all"],
+    ap.add_argument("--kernel",
+                    choices=["attn", "attnimg", "leff", "stage", "all"],
                     default="all")
     args = ap.parse_args()
 
@@ -225,6 +285,8 @@ def main():
         rows += bench_attn_image(args.batch)
     if args.kernel in ("attn", "all"):
         rows += bench_attn(args.batch)
+    if args.kernel in ("stage", "all"):
+        rows += bench_stage(args.batch)
 
     print(f"\n{'kernel':<16} {'ms':>8} {'xdep':>5} {'floor':>8} "
           f"{'x-floor':>8} {'model-ms':>9}")

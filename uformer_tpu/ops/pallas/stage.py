@@ -75,7 +75,7 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
     def kernel(x_ref, ln1_s_ref, ln1_b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                wv_ref, bv_ref, wo_ref, bo_ref, bias_ref, mod_ref,
                ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
-               w2_ref, b2_ref, o_ref, xs_ref, hid_ref):
+               w2_ref, b2_ref, o_ref, xs_ref, hid_ref, smask_ref):
         j = pl.program_id(0)
         b = pl.program_id(1)
         cheap = out_dtype == jnp.bfloat16
@@ -92,11 +92,30 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
         else:
             shifted = jnp.bool_(False)
 
+        # the shift-region mask depends on j only (via parity), not on the
+        # image: build it once per block (first image) into a scratch
+        if parts in ("both", "attn"):
+            @pl.when(b == 0)
+            def _mask():
+                sh = jnp.where(shifted, s, 0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
+                wloc = rows * g + cols // 64
+                n_off = cols % 64
+                k_idx = wloc // W8
+                j_idx = wloc - k_idx * W8
+                rh = _region_ids(8, sh, H, k_idx, n_off // 8)
+                rw = _region_ids(8, sh, W, j_idx, n_off % 8)
+                rid = wloc * 9 + rh * 3 + rw
+                neq = (rid[:, :, None] != rid[:, None, :]).astype(f32)
+                smask_ref[:] = neq * jnp.float32(-100.0)
+
         # ---------- attention sub-block: x += Proj(Attn(LN1(x))) ----------
         if parts in ("both", "attn"):
             xcur = attn_part(xcur, shifted, prec, ln1_s_ref, ln1_b_ref,
                              wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-                             bv_ref, wo_ref, bo_ref, bias_ref, mod_ref)
+                             bv_ref, wo_ref, bo_ref, bias_ref, mod_ref,
+                             smask_ref)
         if parts in ("both", "leff"):
             xcur = leff_part(xcur, prec, cheap, ln2_s_ref, ln2_b_ref,
                              w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
@@ -110,7 +129,7 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
 
     def attn_part(xcur, shifted, prec, ln1_s_ref, ln1_b_ref, wq_ref,
                   bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-                  bias_ref, mod_ref):
+                  bias_ref, mod_ref, smask_ref):
         xa = ln(xcur, ln1_s_ref, ln1_b_ref)
         if use_shift:
             rolled = jnp.roll(jnp.roll(xa, -s, axis=0), -s, axis=1)
@@ -122,22 +141,7 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
             tok = (tok.reshape(T, 64, C)
                    + mod_ref[0][None].astype(tok.dtype)).reshape(T * 64, C)
 
-        # mask: window id + shift regions folded into one region id; with
-        # shift == 0 the region id is constant within each window, so the
-        # same expression is the plain pairing mask
-        sh = jnp.where(shifted, s, 0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
-        wloc = rows * g + cols // 64
-        n_off = cols % 64
-        k_idx = wloc // W8
-        j_idx = wloc - k_idx * W8
-        rh = _region_ids(8, sh, H, k_idx, n_off // 8)
-        rw = _region_ids(8, sh, W, j_idx, n_off % 8)
-        rid = wloc * 9 + rh * 3 + rw
-        neq = (rid[:, :, None] != rid[:, None, :]).astype(f32)
-        smask = neq * jnp.float32(-100.0)
-
+        smask = smask_ref[:]
         out = jnp.zeros((T * 64, C), f32)
         for gi in range(nG):
             def proj(w_ref, b_ref):
@@ -147,7 +151,11 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                     preferred_element_type=f32, precision=prec)
                 return (y + b_ref[0, gi, 0].astype(f32)).astype(tok.dtype)
 
-            qg = proj(wq_ref, bq_ref)
+            # fold the softmax scale into q right after the projection
+            # (one cheap pass over (T*64, hg*D)) so the (T//g, P, P)
+            # logits tensor skips a full scalar-multiply pass
+            qg = (proj(wq_ref, bq_ref).astype(f32)
+                  * jnp.float32(scale)).astype(tok.dtype)
             kg = proj(wk_ref, bk_ref)
             vg = proj(wv_ref, bv_ref)
             o_parts = []
@@ -164,7 +172,7 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                 logits = jax.lax.dot_general(
                     q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32, precision=prec)
-                logits = logits * scale + bias_h[None] + smask
+                logits = logits + (bias_h[None] + smask)
                 probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
                 o_parts.append(jax.lax.dot_general(
                     probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -309,6 +317,7 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         scratch_shapes=[
             pltpu.VMEM((B, H, W, C), x.dtype),
             pltpu.VMEM((H + 2, W + 2, Ch), x.dtype),
+            pltpu.VMEM((T // g, g * 64, g * 64), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=(pltpu.CompilerParams(
