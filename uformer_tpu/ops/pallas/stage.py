@@ -92,8 +92,12 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
         else:
             shifted = jnp.bool_(False)
 
-        # the shift-region mask depends on j only (via parity), not on the
-        # image: build it once per block (first image) into a scratch
+        # the additive logits term (rel-pos bias + shift-region mask)
+        # depends on j only — via the parity and the block's bias table —
+        # not on the image: build the per-head combined term once per
+        # block (first image) into a scratch, saving the concat + two
+        # adds over the (T//g, P, P) logits volume for the other B-1
+        # images
         if parts in ("both", "attn"):
             @pl.when(b == 0)
             def _mask():
@@ -108,7 +112,13 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                 rw = _region_ids(8, sh, W, j_idx, n_off % 8)
                 rid = wloc * 9 + rh * 3 + rw
                 neq = (rid[:, :, None] != rid[:, None, :]).astype(f32)
-                smask_ref[:] = neq * jnp.float32(-100.0)
+                smask = neq * jnp.float32(-100.0)
+                for h in range(nH):
+                    bias_h = bias_ref[0, h]
+                    if g > 1:
+                        bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                        bias_h = jnp.concatenate([bias_h] * g, axis=-2)
+                    smask_ref[h] = bias_h[None] + smask
 
         # ---------- attention sub-block: x += Proj(Attn(LN1(x))) ----------
         if parts in ("both", "attn"):
@@ -132,8 +142,13 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                   bias_ref, mod_ref, smask_ref):
         xa = ln(xcur, ln1_s_ref, ln1_b_ref)
         if use_shift:
-            rolled = jnp.roll(jnp.roll(xa, -s, axis=0), -s, axis=1)
-            xa = jnp.where(shifted, rolled, xa)
+            # branch on the parity: the unshifted blocks skip the two
+            # roll passes entirely (the old roll-both-then-select paid
+            # three passes on every block)
+            xa = jax.lax.cond(
+                shifted,
+                lambda v: jnp.roll(jnp.roll(v, -s, axis=0), -s, axis=1),
+                lambda v: v, xa)
         tok = jnp.concatenate(
             [winchain(xa[8 * k:8 * k + 8]) for k in range(H8)],
             axis=0).reshape(T * 64, C)
@@ -141,7 +156,6 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
             tok = (tok.reshape(T, 64, C)
                    + mod_ref[0][None].astype(tok.dtype)).reshape(T * 64, C)
 
-        smask = smask_ref[:]
         out = jnp.zeros((T * 64, C), f32)
         for gi in range(nG):
             def proj(w_ref, b_ref):
@@ -165,14 +179,10 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                 q = qg[:, sl].reshape(T // g, P, D)
                 k = kg[:, sl].reshape(T // g, P, D)
                 v = vg[:, sl].reshape(T // g, P, D)
-                bias_h = bias_ref[0, h]
-                if g > 1:
-                    bias_h = jnp.concatenate([bias_h] * g, axis=-1)
-                    bias_h = jnp.concatenate([bias_h] * g, axis=-2)
                 logits = jax.lax.dot_general(
                     q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32, precision=prec)
-                logits = logits + (bias_h[None] + smask)
+                logits = logits + smask_ref[h]
                 probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
                 o_parts.append(jax.lax.dot_general(
                     probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -190,8 +200,10 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
             [winchain_inv(out[k * W8:(k + 1) * W8]) for k in range(H8)],
             axis=0)
         if use_shift:
-            unrolled = jnp.roll(jnp.roll(img, s, axis=0), s, axis=1)
-            img = jnp.where(shifted, unrolled, img)
+            img = jax.lax.cond(
+                shifted,
+                lambda v: jnp.roll(jnp.roll(v, s, axis=0), s, axis=1),
+                lambda v: v, img)
         return xcur + img
 
     # ---------- LeFF sub-block: x += L2(g(DW(g(L1(LN2(x)))))) ----------
@@ -317,7 +329,7 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         scratch_shapes=[
             pltpu.VMEM((B, H, W, C), x.dtype),
             pltpu.VMEM((H + 2, W + 2, Ch), x.dtype),
-            pltpu.VMEM((T // g, g * 64, g * 64), jnp.float32),
+            pltpu.VMEM((nH, T // g, g * 64, g * 64), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=(pltpu.CompilerParams(
