@@ -63,7 +63,7 @@ def bench_inference():
     import jax.numpy as jnp
 
     from uformer_tpu import get_arch
-    from uformer_tpu.utils import init_params_fast
+    from uformer_tpu.utils import cast_weights, init_params_fast
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     model = get_arch({"arch": "Uformer_B", "train_ps": SIZE, "dtype": dtype})
@@ -71,6 +71,10 @@ def bench_inference():
         np.random.default_rng(0).uniform(0, 1, (BATCH, SIZE, SIZE, 3))
         .astype(np.float32))
     params = init_params_fast(model, x)
+    if dtype == jnp.bfloat16:
+        # serving-mode weights: pre-cast once so the in-graph per-forward
+        # f32->bf16 converts (~100 MB on Uformer_B) become no-ops
+        params = cast_weights(params, dtype)
 
     fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))
 
@@ -112,7 +116,7 @@ def bench_breakdown():
     import jax.numpy as jnp
 
     from uformer_tpu import get_arch
-    from uformer_tpu.utils import init_params_fast
+    from uformer_tpu.utils import cast_weights, init_params_fast
     from uformer_tpu.utils.debug import summarize_trace
 
     iters = 10
@@ -121,7 +125,7 @@ def bench_breakdown():
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (BATCH, SIZE, SIZE, 3))
         .astype(np.float32))
-    params = init_params_fast(model, x)
+    params = cast_weights(init_params_fast(model, x))
     fwd = jax.jit(lambda p, z: model.apply(p, z))
     z = fwd(params, x)
     _ = float(z[0, 0, 0, 0])

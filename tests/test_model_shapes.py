@@ -162,3 +162,28 @@ def test_gradients_through_dropout_branches():
     g = jax.grad(loss_fn)(params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_cast_weights_inference_parity():
+    """Pre-cast bf16 serving weights are semantics-preserving: flax casts
+    params to the module dtype at apply time anyway, so casting >=2-D
+    weights once must give bit-identical outputs (biases / LN vectors /
+    rel-pos tables stay fp32 — the kernels consume those in fp32)."""
+    from uformer_tpu.utils import cast_weights
+
+    model = tiny_uformer(dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y_ref = model.apply(params, x)
+    cast = cast_weights(params)
+    y_cast = model.apply(cast, x)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_cast))
+    # 1-D leaves and rel-pos tables kept fp32, >=2-D weights now bf16
+    flat = jax.tree_util.tree_flatten_with_path(cast)[0]
+    for path, leaf in flat:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if leaf.ndim >= 2 and "relative_position" not in name:
+            assert leaf.dtype == jnp.bfloat16, (path, leaf.dtype)
+        else:
+            assert leaf.dtype == jnp.float32, (path, leaf.dtype)

@@ -73,8 +73,8 @@ def _make_kernel(R, H, W, C, nH, D, hg, g, scale, shift, has_mod, has_ln,
     P = g * 64           # tokens per paired-window group
     nG = nH // hg
 
-    def attn_core(t, tok, mod_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-                  bv_ref, wo_ref, bo_ref, bias_ref):
+    def attn_core(t, tok, mod_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
+                  wo_ref, bo_ref, bias_ref):
         """tok: (T*64, C) post-LN tokens -> (T*64, C) projected output."""
         if has_mod:
             tok = (tok.reshape(T, 64, C)
@@ -106,17 +106,23 @@ def _make_kernel(R, H, W, C, nH, D, hg, g, scale, shift, has_mod, has_ln,
 
         out = jnp.zeros((T * 64, C), jnp.float32)
         for gi in range(nG):
-            def proj(w_ref, b_ref):
+            # head-group weights are lane slices of the raw (C, C) /
+            # (C, 2C) projection matrices — no outer transpose pass
+            g0 = gi * hg * D
+
+            def proj(w_ref, b_ref, c0, mul=None):
                 y = jax.lax.dot_general(
-                    tok, w_ref[gi],
+                    tok, w_ref[:, c0:c0 + hg * D],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec)
-                return (y + b_ref[gi, 0].astype(jnp.float32)) \
-                    .astype(tok.dtype)
+                y = y + b_ref[0, c0:c0 + hg * D].astype(jnp.float32)
+                if mul is not None:  # fold the softmax scale into q
+                    y = y * mul
+                return y.astype(tok.dtype)
 
-            qg = proj(wq_ref, bq_ref)  # (T*64, hg*D)
-            kg = proj(wk_ref, bk_ref)
-            vg = proj(wv_ref, bv_ref)
+            qg = proj(wq_ref, bq_ref, g0, jnp.float32(scale))
+            kg = proj(wkv_ref, bkv_ref, g0)
+            vg = proj(wkv_ref, bkv_ref, C + g0)
             o_parts = []
             for hh in range(hg):
                 h = gi * hg + hh
@@ -131,10 +137,18 @@ def _make_kernel(R, H, W, C, nH, D, hg, g, scale, shift, has_mod, has_ln,
                 logits = jax.lax.dot_general(
                     q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32, precision=prec)
-                logits = logits * scale + bias_h[None]
+                logits = logits + bias_h[None]
                 if smask is not None:
                     logits = logits + smask
-                probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
+                if out_dtype == jnp.bfloat16:
+                    # skip the max-subtraction reduce — post-LN logits
+                    # are bounded far below exp's f32 overflow (clamped
+                    # at 80 for safety; masked lanes are -100)
+                    e = jnp.exp(jnp.minimum(logits, jnp.float32(80.0)))
+                    probs = (e / e.sum(-1, keepdims=True)).astype(tok.dtype)
+                else:
+                    probs = jax.nn.softmax(logits, axis=-1) \
+                        .astype(tok.dtype)
                 o_parts.append(jax.lax.dot_general(
                     probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -142,7 +156,7 @@ def _make_kernel(R, H, W, C, nH, D, hg, g, scale, shift, has_mod, has_ln,
             og = (o_parts[0] if hg == 1
                   else jnp.concatenate(o_parts, axis=-1))
             out = out + jax.lax.dot_general(
-                og.reshape(T * 64, hg * D), wo_ref[gi],
+                og.reshape(T * 64, hg * D), wo_ref[g0:g0 + hg * D, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
         return out + bo_ref[:].astype(jnp.float32)
@@ -150,11 +164,11 @@ def _make_kernel(R, H, W, C, nH, D, hg, g, scale, shift, has_mod, has_ln,
     def kernel(*refs):
         if s:
             (xm_ref, xa_ref, xb_ref, mod_ref, ln_s_ref, ln_b_ref,
-             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+             wq_ref, bq_ref, wkv_ref, bkv_ref,
              wo_ref, bo_ref, bias_ref, o_ref) = refs
         else:
             (xm_ref, mod_ref, ln_s_ref, ln_b_ref,
-             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+             wq_ref, bq_ref, wkv_ref, bkv_ref,
              wo_ref, bo_ref, bias_ref, o_ref) = refs
         t = pl.program_id(1)
         xm = xm_ref[0]
@@ -178,8 +192,8 @@ def _make_kernel(R, H, W, C, nH, D, hg, g, scale, shift, has_mod, has_ln,
             [_winchain(slab[8 * k + s:8 * k + s + 8], W, C)
              for k in range(nK)], axis=0).reshape(T * 64, C)
 
-        out = attn_core(t, tok, mod_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                        wv_ref, bv_ref, wo_ref, bo_ref, bias_ref)
+        out = attn_core(t, tok, mod_ref, wq_ref, bq_ref, wkv_ref,
+                        bkv_ref, wo_ref, bo_ref, bias_ref)
         out = out.astype(xm.dtype).reshape(T, 64, C)
 
         # reverse: windows -> image rows, keeping each tile's aligned span
@@ -327,13 +341,12 @@ def fused_attention_image(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
     while nH % hg:  # hg must divide nH (largest divisor <= 128//D)
         hg -= 1
     nG = nH // hg
-    wq_h = wq.reshape(C, nG, hg * D).transpose(1, 0, 2)
-    bq_h = bq.reshape(nG, 1, hg * D)
-    wk = wkv[:, :C].reshape(C, nG, hg * D).transpose(1, 0, 2)
-    wv = wkv[:, C:].reshape(C, nG, hg * D).transpose(1, 0, 2)
-    bk = bkv[:C].reshape(nG, 1, hg * D)
-    bv = bkv[C:].reshape(nG, 1, hg * D)
-    wo_h = wo.reshape(nG, hg * D, C)
+    # projection weights stay in their raw (C, C) / (C, 2C) layout —
+    # head groups are lane/sublane slices taken inside the kernel, so
+    # no XLA transpose pass runs per forward. Bias vectors carry a
+    # dummy sublane axis for the (8, 128) block rule.
+    bq_h = bq.reshape(1, C)
+    bkv_h = bkv.reshape(1, 2 * C)
     has_mod = mod is not None
     if mod is None:
         mod = jnp.zeros((64, C), x.dtype)
@@ -366,8 +379,8 @@ def fused_attention_image(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
     ] if shift else []
     in_specs = [xm_spec] + halo_specs + [
         vmem, vmem, vmem,            # mod, ln_s, ln_b
-        vmem, vmem, vmem, vmem,      # wq, bq, wk, bk
-        vmem, vmem, vmem, vmem,      # wv, bv, wo, bo
+        vmem, vmem, vmem, vmem,      # wq, bq, wkv, bkv
+        vmem, vmem,                  # wo, bo
         vmem,                        # bias
     ]
     halo_args = (x, x) if shift else ()
@@ -387,5 +400,5 @@ def fused_attention_image(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
             bytes_accessed=2 * B * H * W * C * x.dtype.itemsize,
             transcendentals=B * H * W * nH,
         ),
-    )(x, *halo_args, mod, ln_s, ln_b, wq_h, bq_h, wk, bk, wv, bv, wo_h, bo,
+    )(x, *halo_args, mod, ln_s, ln_b, wq, bq_h, wkv, bkv_h, wo, bo,
       bias.astype(jnp.float32))

@@ -1,1 +1,5 @@
-from uformer_tpu.utils.params import init_params_fast, count_params  # noqa: F401
+from uformer_tpu.utils.params import (  # noqa: F401
+    cast_weights,
+    count_params,
+    init_params_fast,
+)

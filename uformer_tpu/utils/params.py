@@ -51,3 +51,26 @@ def init_params_fast(model, *args, rng=None, **kwargs):
 
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def cast_weights(params, dtype=jnp.bfloat16):
+    """Pre-cast every >=2-D weight leaf to `dtype` for inference serving.
+
+    Modules built with `dtype=bfloat16` cast these leaves on EVERY
+    forward (flax promotes kernels to the module dtype; the fused
+    kernels do the same for the stacked stage weights) — on a 50M-param
+    Uformer_B that re-converts ~100 MB per call. Casting once here makes
+    every in-graph `astype` a no-op with bit-identical results.
+
+    1-D leaves (biases, LayerNorm scales) and the relative-position bias
+    tables stay fp32: the Pallas kernels consume them in fp32, so casting
+    them would *change* numerics, not just pre-pay a conversion.
+    """
+    def leaf(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if (x.ndim >= 2 and jnp.issubdtype(x.dtype, jnp.floating)
+                and "relative_position" not in name):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
