@@ -104,3 +104,47 @@ def test_input_mask_bias():
     assert bias[0, 0, 1] == -100.0 and bias[0, 1, 0] == -100.0
     assert bias[0, 0, 0] == -100.0  # self-pair of nonzero is also nonzero
     assert bias[0, 0, 2] == 0.0 and bias[0, 2, 3] == 0.0
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_dilated_partition_matches_unfold(d):
+    """Dilated partition == F.unfold(kernel=win, dilation=d,
+    padding=4*(d-1), stride=win) (reference model.py:706-711)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    B, H, W, C, win = 2, 64, 64, 5, 8
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    ours = np.asarray(window_partition(jnp.asarray(x), win, dilation_rate=d))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # B, C, H, W
+    u = F.unfold(xt, kernel_size=win, dilation=d, padding=4 * (d - 1),
+                 stride=win)                       # B, C*win*win, nW
+    ref = (u.permute(0, 2, 1).contiguous().view(-1, C, win, win)
+            .permute(0, 2, 3, 1).contiguous().numpy()
+            .reshape(-1, win * win, C))
+    np.testing.assert_allclose(ours, ref, atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_dilated_reverse_matches_fold(d):
+    """Dilated reverse == the F.fold the reference intends (its own code
+    at model.py:721-723 crashes on a 4-D permute with six indices)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(2)
+    B, H, W, C, win = 2, 64, 64, 3, 8
+    nW = (H // win) * (W // win)
+    w = rng.normal(size=(B * nW, win * win, C)).astype(np.float32)
+    ours = np.asarray(window_reverse(jnp.asarray(w), win, H, W,
+                                     dilation_rate=d))
+
+    # windows -> the (B, C*win*win, nW) layout F.fold consumes
+    wt = (torch.from_numpy(w).view(B, nW, win, win, C)
+          .permute(0, 4, 2, 3, 1).contiguous().view(B, C * win * win, nW))
+    ref = F.fold(wt, (H, W), kernel_size=win, dilation=d,
+                 padding=4 * (d - 1), stride=win)
+    ref = ref.permute(0, 2, 3, 1).contiguous().numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
