@@ -32,6 +32,9 @@ def eval_argparser(description: str) -> argparse.ArgumentParser:
                    help="if >0, use overlapping-crop tiled inference with "
                         "this tile size")
     p.add_argument("--tile_overlap", type=int, default=32)
+    p.add_argument("--tile_batch", type=int, default=8,
+                   help="tile positions batched per device dispatch in "
+                        "tiled inference")
     p.add_argument("--mesh_data", type=int, default=0,
                    help="if >0, shard eval over this many devices on a "
                         "'data' mesh axis: the tile batch is restored in "
@@ -57,6 +60,11 @@ def build_restorer(args):
                       "dtype": dtype})
     params = jax.tree_util.tree_map(
         jnp.asarray, load_params(args.weights, args.arch))
+    if dtype == jnp.bfloat16:
+        # serving mode: pre-cast >=2-D weights once so the per-forward
+        # f32->bf16 converts are no-ops (bit-identical outputs)
+        from uformer_tpu.utils import cast_weights
+        params = cast_weights(params, dtype)
 
     fwd = jax.jit(lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0))
 
@@ -85,7 +93,8 @@ def build_restorer(args):
 
         def tiled_fn(x):
             return tiled_inference(fn, x, tile=args.tile,
-                                   overlap=args.tile_overlap)
+                                   overlap=args.tile_overlap,
+                                   tile_batch=args.tile_batch)
 
         return tiled_fn
     return fn

@@ -262,3 +262,22 @@ def test_run_gopro_eval_reference_ssim_protocol(tmp_path):
                          data_range=1.0)
     assert abs(ms - wrong) > 1e-4
     assert os.path.exists(res / "psnr_ssim.txt")
+
+
+def test_tiled_inference_batched_chunks():
+    """Batched tile dispatch (incl. a repeat-padded last chunk) matches
+    the whole-image result on a batch-equivariant fn, non-square input."""
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (2, 200, 360, 3)).astype(np.float32)
+    calls = []
+
+    def f(x):
+        calls.append(x.shape)
+        return x * 0.5 + 0.1
+
+    out = tiled_inference(f, img, tile=64, overlap=16, factor=32,
+                          tile_batch=3)
+    np.testing.assert_allclose(out, img * 0.5 + 0.1, atol=1e-6)
+    # every dispatch is the same compiled shape, batch = tile_batch
+    # (flattened over tile positions x images)
+    assert len(set(calls)) == 1 and calls[0][0] == 3

@@ -88,7 +88,8 @@ def _blend_window(length: int, ramp: int, lo_interior: bool,
 
 def tiled_inference(fn: Callable, img: np.ndarray, tile: int = 256,
                     overlap: int = 32, factor: int = 128,
-                    margin: int | None = None) -> np.ndarray:
+                    margin: int | None = None,
+                    tile_batch: int = 8) -> np.ndarray:
     """Run `fn` (NHWC->NHWC restorer) over overlapping tiles and blend.
 
     img: (B, H, W, C) numpy. Tiles are `tile`x`tile` (a multiple of
@@ -98,6 +99,13 @@ def tiled_inference(fn: Callable, img: np.ndarray, tile: int = 256,
     and the remaining overlap is blended with a raised-cosine window. For
     a local model whose receptive-field halo <= margin, the stitched
     output equals whole-image inference on the interior exactly.
+
+    Edge-clamping makes every tile the same shape, so tile positions are
+    BATCHED through `fn` in groups of `tile_batch` (the last group is
+    padded by repetition to keep a single compiled shape) — a 720p image
+    at tile=256 is 2 batched dispatches instead of 24 single-tile calls.
+    The model is batch-equivariant (no cross-image ops), so outputs are
+    identical to the tile-at-a-time loop.
     """
     assert tile % factor == 0, (tile, factor)
     if margin is None:
@@ -115,23 +123,35 @@ def tiled_inference(fn: Callable, img: np.ndarray, tile: int = 256,
     wsum = np.zeros((1, H, W, 1), np.float32)
     ramp = overlap - 2 * margin
 
-    for y in ys:
-        for x in xs:
-            th = min(tile, H - y)
-            tw = min(tile, W - x)
-            patch = img[:, y:y + th, x:x + tw]
-            padded, _ = pad_to_multiple(patch, factor)
-            out = np.asarray(fn(padded))[:, :th, :tw]
-            # crop `margin` on interior edges only
-            y0 = margin if y > 0 else 0
-            y1 = th - margin if y + th < H else th
-            x0 = margin if x > 0 else 0
-            x1 = tw - margin if x + tw < W else tw
-            wy = _blend_window(y1 - y0, ramp, y > 0, y + th < H)
-            wx = _blend_window(x1 - x0, ramp, x > 0, x + tw < W)
-            w = wy[:, None] * wx[None, :]
-            acc[:, y + y0:y + y1, x + x0:x + x1] += \
-                out[:, y0:y1, x0:x1] * w[None, :, :, None]
-            wsum[:, y + y0:y + y1, x + x0:x + x1] += w[None, :, :, None]
+    # all tiles share one clamped shape -> stack and batch through fn
+    pos = [(y, x) for y in ys for x in xs]
+    th = min(tile, H)
+    tw = min(tile, W)
+    patches = np.stack([img[:, y:y + th, x:x + tw] for y, x in pos])
+    patches = patches.reshape(len(pos) * B, th, tw, C)
+    padded, _ = pad_to_multiple(patches, factor)
+    cb = max(1, min(len(padded), int(tile_batch)))
+    outs = []
+    for i in range(0, len(padded), cb):
+        chunk = padded[i:i + cb]
+        if len(chunk) < cb:  # repeat-pad: keep one compiled batch shape
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], cb - len(chunk), axis=0)])
+        outs.append(np.asarray(fn(chunk))[:, :th, :tw])
+    out_all = np.concatenate(outs)[:len(pos) * B] \
+        .reshape(len(pos), B, th, tw, C)
+
+    for (y, x), out in zip(pos, out_all):
+        # crop `margin` on interior edges only
+        y0 = margin if y > 0 else 0
+        y1 = th - margin if y + th < H else th
+        x0 = margin if x > 0 else 0
+        x1 = tw - margin if x + tw < W else tw
+        wy = _blend_window(y1 - y0, ramp, y > 0, y + th < H)
+        wx = _blend_window(x1 - x0, ramp, x > 0, x + tw < W)
+        w = wy[:, None] * wx[None, :]
+        acc[:, y + y0:y + y1, x + x0:x + x1] += \
+            out[:, y0:y1, x0:x1] * w[None, :, :, None]
+        wsum[:, y + y0:y + y1, x + x0:x + x1] += w[None, :, :, None]
     assert float(wsum.min()) > 0, "tiling left uncovered pixels"
     return acc / wsum
