@@ -54,3 +54,40 @@ def test_native_dataset_batch_matches_python_path(tmp_path):
     g2, n2 = ds_py.get_batch([0, 1, 2, 3])
     np.testing.assert_allclose(g1, g2, atol=1e-6)
     np.testing.assert_allclose(n1, n2, atol=1e-6)
+
+
+def test_batch_augment_deterministic_under_thread_jitter(tmp_path, monkeypatch):
+    """Crop/aug draws must not depend on decode-thread interleaving: two
+    same-seed datasets give identical batches even when decode latencies
+    are randomized (the old code drew RNG inside pool workers, so batch
+    content changed with machine load)."""
+    import time
+
+    import cv2
+
+    import uformer_tpu.data.datasets as dsmod
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "groundtruth").mkdir()
+    (tmp_path / "input").mkdir()
+    for i in range(6):
+        img = rng.integers(0, 256, (48, 48, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "groundtruth" / f"{i}.png"), img)
+        cv2.imwrite(str(tmp_path / "input" / f"{i}.png"), img)
+
+    real = dsmod.load_img
+    jit = np.random.default_rng(123)
+
+    def slow_load(path):
+        time.sleep(float(jit.uniform(0, 0.02)))
+        return real(path)
+
+    monkeypatch.setattr(dsmod, "load_img", slow_load)
+    a = dsmod.PairedTrainDataset(str(tmp_path), patch_size=32, seed=9,
+                                 native=False, decode_threads=6)
+    b = dsmod.PairedTrainDataset(str(tmp_path), patch_size=32, seed=9,
+                                 native=False, decode_threads=6)
+    ga, na = a.get_batch([0, 3, 1, 5, 2, 4])
+    gb, nb = b.get_batch([0, 3, 1, 5, 2, 4])
+    np.testing.assert_array_equal(ga, gb)
+    np.testing.assert_array_equal(na, nb)

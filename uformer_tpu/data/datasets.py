@@ -85,18 +85,18 @@ class PairedTrainDataset:
         return self._decode_pool
 
     def get_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched fused path: threaded decode + C++ crop/aug/normalize
-        when available."""
-        if not self.use_native:
-            samples = list(self._pool().map(self.__getitem__, indices))
-            return (np.stack([s[0] for s in samples]),
-                    np.stack([s[1] for s in samples]))
-        from uformer_tpu.data.native import augment_pair_batch
+        """Batched fused path: threaded decode, then crop/aug/normalize
+        via the C++ plane when available, numpy otherwise.
 
+        Crop/augment draws happen SERIALLY in index order after the
+        threaded decode (both paths, identical draw sequence) — drawing
+        inside pool workers would make the augmentation depend on thread
+        interleaving (and race on the non-thread-safe Generator)."""
         ps = self.ps
         paths = [self.gt_files[i] for i in indices] + \
             [self.in_files[i] for i in indices]
-        imgs = list(self._pool().map(self._load_u8, paths))
+        loader = self._load_u8 if self.use_native else load_img
+        imgs = list(self._pool().map(loader, paths))
         gts, nys, rows, cols, ks = [], [], [], [], []
         for j in range(len(indices)):
             g, n = imgs[j], imgs[len(indices) + j]
@@ -112,8 +112,18 @@ class PairedTrainDataset:
             rows.append(int(self.rng.integers(0, H - ps + 1)))
             cols.append(int(self.rng.integers(0, W - ps + 1)))
             ks.append(int(self.rng.integers(0, 8)))
-        return augment_pair_batch(gts, nys, ps, np.asarray(rows),
-                                  np.asarray(cols), np.asarray(ks))
+        if self.use_native:
+            from uformer_tpu.data.native import augment_pair_batch
+
+            return augment_pair_batch(gts, nys, ps, np.asarray(rows),
+                                      np.asarray(cols), np.asarray(ks))
+        gt_out = np.stack([
+            np.ascontiguousarray(_apply_dihedral(g[r:r + ps, c:c + ps], k))
+            for g, r, c, k in zip(gts, rows, cols, ks)])
+        ny_out = np.stack([
+            np.ascontiguousarray(_apply_dihedral(n[r:r + ps, c:c + ps], k))
+            for n, r, c, k in zip(nys, rows, cols, ks)])
+        return gt_out, ny_out
 
     def __len__(self):
         return len(self.gt_files)
@@ -212,14 +222,16 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    use_native = getattr(dataset, "use_native", False) and \
-        hasattr(dataset, "get_batch")
+    # datasets with a batched path thread their own decode and draw
+    # crop/aug RNG serially — pool-mapping __getitem__ would make the
+    # augmentation depend on thread interleaving
+    has_batch = hasattr(dataset, "get_batch")
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
         for i0 in range(0, n, batch_size):
             idx = order[i0:i0 + batch_size]
             if len(idx) < batch_size and drop_last:
                 return
-            if use_native:
+            if has_batch:
                 gt, noisy = dataset.get_batch(idx)
             else:
                 samples = list(pool.map(dataset.__getitem__, idx))
