@@ -248,15 +248,20 @@ def bench_stage(B):
             w1=r(n, C, Ch), b1=r(n, Ch), wd=r(n, 3, 3, Ch), bd=r(n, Ch),
             w2=r(n, Ch, C), b2=r(n, C))
 
-        for parts in ("both", "attn", "leff"):
-            def call(z, p, reso=reso, nH=nH, C=C, parts=parts):
+        for parts in ("both", "attn", "leff", "leff-dwbf16"):
+            dwb = parts == "leff-dwbf16"
+
+            def call(z, p, reso=reso, nH=nH, C=C, parts=parts, dwb=dwb):
                 return fused_stage(z, p, scale=(C // nH) ** -0.5,
                                    num_heads=nH, use_shift=reso > 8,
-                                   has_mod=True, parts=parts)
+                                   has_mod=True,
+                                   parts="leff" if dwb else parts,
+                                   dw_bf16=dwb)
             t = measure(call, x, p)
             part_flops = {
                 "attn": 8 * C * C + 4 * 128 * C,
                 "leff": 16 * C * C + 18 * Ch,
+                "leff-dwbf16": 16 * C * C + 18 * Ch,
             }
             f = (sum(part_flops.values()) if parts == "both"
                  else part_flops[parts])

@@ -65,3 +65,26 @@ def test_basiclayer_megakernel_matches_jnp_backend():
     got = l_meg.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_stage_dw_bf16_variant():
+    """dw_bf16 (bf16 tap accumulation, serving knob): close to the fp32
+    reference within bf16 accumulation error, and a no-op on f32 inputs."""
+    n, B, H, W, C, nH = 2, 2, 16, 16, 32, 4
+    p = _stage_params(3, n, C, nH, 2 * C)
+    xf = jnp.asarray(
+        np.random.default_rng(4).normal(size=(B, H, W, C))
+        .astype(np.float32) * 0.3)
+    kw = dict(scale=0.2, num_heads=nH, use_shift=True, has_mod=True)
+    want = stage_reference(xf, p, **kw)
+    # f32 input: dw_bf16 is gated off -> bit-identical to the default
+    a = fused_stage(xf, p, interpret=True, **kw)
+    b = fused_stage(xf, p, interpret=True, dw_bf16=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # bf16 input: stays within bf16-path error of the fp32 reference
+    xb = xf.astype(jnp.bfloat16)
+    pb = {k: (v.astype(jnp.bfloat16) if v.ndim >= 2 and k != "bias" else v)
+          for k, v in p.items()}
+    got = fused_stage(xb, pb, interpret=True, dw_bf16=True, **kw)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want))
+    assert err.max() < 0.05, err.max()

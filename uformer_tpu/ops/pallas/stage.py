@@ -46,7 +46,7 @@ from uformer_tpu.ops.pallas.leff import _gelu
 
 @functools.lru_cache(maxsize=None)
 def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
-                       has_mod, out_dtype, parts="both"):
+                       has_mod, out_dtype, parts="both", dw_bf16=False):
     """One kernel per stage geometry. win == 8, C % 128 == 0 (on TPU)."""
     W8 = W // 8
     H8 = H // 8
@@ -232,13 +232,19 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
         hid_ref[0:1] = zrow
         hid_ref[H + 1:H + 2] = zrow
         hid_ref[1:H + 1] = jnp.concatenate([zcol, hcore, zcol], axis=1)
-        acc = jnp.zeros((H, W, Ch), f32)
+        # dw_bf16: accumulate the 9 taps in the activation dtype (one
+        # mul+add per tap instead of convert+mul+add in f32) — a VPU-pass
+        # knob for the bf16 serving path; worst-case 9-tap bf16
+        # accumulation error ~2^-8 relative, below the bf16 activations'
+        # own quantization noise downstream
+        acc_dt = xcur.dtype if (dw_bf16 and cheap) else f32
+        acc = jnp.zeros((H, W, Ch), acc_dt)
         for dy in range(3):
             rows3 = hid_ref[dy:dy + H]
             for dx in range(3):
-                acc += rows3[:, dx:dx + W].astype(f32) * \
-                    wd_ref[0, dy, dx, :].astype(f32)
-        acc = _gelu(acc + bd_ref[0].astype(f32), cheap=cheap)
+                acc += rows3[:, dx:dx + W].astype(acc_dt) * \
+                    wd_ref[0, dy, dx, :].astype(acc_dt)
+        acc = _gelu(acc.astype(f32) + bd_ref[0].astype(f32), cheap=cheap)
         out2 = jax.lax.dot_general(
             acc.astype(xcur.dtype).reshape(H * W, Ch), w2_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -277,9 +283,9 @@ def stage_reference(x, p, *, scale, num_heads, use_shift, has_mod):
 
 @functools.partial(jax.jit, static_argnames=(
     "scale", "num_heads", "use_shift", "has_mod", "interpret", "vmem_mb",
-    "parts"))
+    "parts", "dw_bf16"))
 def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
-                interpret=False, vmem_mb=0, parts="both"):
+                interpret=False, vmem_mb=0, parts="both", dw_bf16=False):
     """x: (B, H, W, C); p: dict of per-block-stacked weights:
     ln1_s/ln1_b (n, C), wq (n, C, C), bq (n, C), wk/wv (n, C, C),
     bk/bv (n, C), wo (n, C, C), bo (n, C), bias (n, nH, 64, 64) fp32,
@@ -321,7 +327,7 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
 
     kernel = _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g,
                                 float(scale), use_shift, has_mod, x.dtype,
-                                parts)
+                                parts, dw_bf16)
 
     def wspec(a):
         shape = (1,) + a.shape[1:]
