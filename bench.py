@@ -59,10 +59,22 @@ def _chain_times(step_once, warm, n_iters, n_chains):
 
 
 def bench_inference():
+    import tempfile
+
     import jax
+
+    # point the persistent XLA cache at a fresh dir BEFORE tracing so
+    # compile_s records a true compile, not a cache-hit deserialization.
+    # uformer_tpu.__init__ would re-point it at the shared cache on
+    # import, so opt out of that first.
+    os.environ["UFORMER_TPU_NO_CACHE"] = "1"
+
     import jax.numpy as jnp
 
     from uformer_tpu import get_arch
+
+    jax.config.update("jax_compilation_cache_dir",
+                      tempfile.mkdtemp(prefix="ubench_xla_"))
     from uformer_tpu.utils import cast_weights, init_params_fast
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

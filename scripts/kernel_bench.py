@@ -263,8 +263,8 @@ def bench_stage(B):
                 "leff": 16 * C * C + 18 * Ch,
                 "leff-dwbf16": 16 * C * C + 18 * Ch,
             }
-            f = (sum(part_flops.values()) if parts == "both"
-                 else part_flops[parts])
+            f = (part_flops["attn"] + part_flops["leff"]
+                 if parts == "both" else part_flops[parts])
             flops = depth * B * reso * reso * f
             floor = flops / PEAK
             row = (f"stage {name} x{depth} {parts}", t * 1e3, 1,

@@ -84,6 +84,18 @@ class PairedTrainDataset:
                 max_workers=self.decode_threads)
         return self._decode_pool
 
+    def close(self):
+        """Shut down the decode pool (idempotent)."""
+        if self._decode_pool is not None:
+            self._decode_pool.shutdown(wait=False)
+            self._decode_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def get_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
         """Batched fused path: threaded decode, then crop/aug/normalize
         via the C++ plane when available, numpy otherwise.
@@ -225,18 +237,22 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     # datasets with a batched path thread their own decode and draw
     # crop/aug RNG serially — pool-mapping __getitem__ would make the
     # augmentation depend on thread interleaving
-    has_batch = hasattr(dataset, "get_batch")
+    if hasattr(dataset, "get_batch"):
+        for i0 in range(0, n, batch_size):
+            idx = order[i0:i0 + batch_size]
+            if len(idx) < batch_size and drop_last:
+                return
+            gt, noisy = dataset.get_batch(idx)
+            yield {"target": gt, "input": noisy}
+        return
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
         for i0 in range(0, n, batch_size):
             idx = order[i0:i0 + batch_size]
             if len(idx) < batch_size and drop_last:
                 return
-            if has_batch:
-                gt, noisy = dataset.get_batch(idx)
-            else:
-                samples = list(pool.map(dataset.__getitem__, idx))
-                gt = np.stack([s[0] for s in samples])
-                noisy = np.stack([s[1] for s in samples])
+            samples = list(pool.map(dataset.__getitem__, idx))
+            gt = np.stack([s[0] for s in samples])
+            noisy = np.stack([s[1] for s in samples])
             yield {"target": gt, "input": noisy}
 
 

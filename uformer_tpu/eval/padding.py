@@ -123,35 +123,35 @@ def tiled_inference(fn: Callable, img: np.ndarray, tile: int = 256,
     wsum = np.zeros((1, H, W, 1), np.float32)
     ramp = overlap - 2 * margin
 
-    # all tiles share one clamped shape -> stack and batch through fn
+    # all tiles share one clamped shape -> batch positions through fn,
+    # streaming one tile_batch chunk at a time (a 4K frame has ~170
+    # positions; materializing them all at once would cost several
+    # hundred MB of host RAM)
     pos = [(y, x) for y in ys for x in xs]
     th = min(tile, H)
     tw = min(tile, W)
-    patches = np.stack([img[:, y:y + th, x:x + tw] for y, x in pos])
-    patches = patches.reshape(len(pos) * B, th, tw, C)
-    padded, _ = pad_to_multiple(patches, factor)
-    cb = max(1, min(len(padded), int(tile_batch)))
-    outs = []
-    for i in range(0, len(padded), cb):
-        chunk = padded[i:i + cb]
+    nflat = len(pos) * B
+    cb = max(1, min(nflat, int(tile_batch)))
+    for i in range(0, nflat, cb):
+        sel = [(pos[j // B], j % B) for j in range(i, min(i + cb, nflat))]
+        chunk = np.stack([img[b, y:y + th, x:x + tw] for (y, x), b in sel])
+        chunk, _ = pad_to_multiple(chunk, factor)
         if len(chunk) < cb:  # repeat-pad: keep one compiled batch shape
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], cb - len(chunk), axis=0)])
-        outs.append(np.asarray(fn(chunk))[:, :th, :tw])
-    out_all = np.concatenate(outs)[:len(pos) * B] \
-        .reshape(len(pos), B, th, tw, C)
-
-    for (y, x), out in zip(pos, out_all):
-        # crop `margin` on interior edges only
-        y0 = margin if y > 0 else 0
-        y1 = th - margin if y + th < H else th
-        x0 = margin if x > 0 else 0
-        x1 = tw - margin if x + tw < W else tw
-        wy = _blend_window(y1 - y0, ramp, y > 0, y + th < H)
-        wx = _blend_window(x1 - x0, ramp, x > 0, x + tw < W)
-        w = wy[:, None] * wx[None, :]
-        acc[:, y + y0:y + y1, x + x0:x + x1] += \
-            out[:, y0:y1, x0:x1] * w[None, :, :, None]
-        wsum[:, y + y0:y + y1, x + x0:x + x1] += w[None, :, :, None]
+        outs = np.asarray(fn(chunk))[:len(sel), :th, :tw]
+        for ((y, x), b), out in zip(sel, outs):
+            # crop `margin` on interior edges only
+            y0 = margin if y > 0 else 0
+            y1 = th - margin if y + th < H else th
+            x0 = margin if x > 0 else 0
+            x1 = tw - margin if x + tw < W else tw
+            wy = _blend_window(y1 - y0, ramp, y > 0, y + th < H)
+            wx = _blend_window(x1 - x0, ramp, x > 0, x + tw < W)
+            w = wy[:, None] * wx[None, :]
+            acc[b, y + y0:y + y1, x + x0:x + x1] += \
+                out[y0:y1, x0:x1] * w[:, :, None]
+            if b == 0:
+                wsum[0, y + y0:y + y1, x + x0:x + x1] += w[:, :, None]
     assert float(wsum.min()) > 0, "tiling left uncovered pixels"
     return acc / wsum
