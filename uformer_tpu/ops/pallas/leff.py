@@ -83,6 +83,92 @@ def _dgelu(h, cheap: bool = False):
     return Phi + hf * phi
 
 
+def _packed_helpers(W, C, Ch, p, has_ln, x_dtype):
+    """Shared packed-lane helpers for every LeFF kernel family (row-tiled
+    and whole-image, forward and backward). In pixel-packed mode (p > 1)
+    W/C/Ch are the PACKED dims: p image pixels share one packed column,
+    each owning a cq/chq lane slot.
+
+    Returns (tap, ln_apply, ln_stats, group_mean):
+      tap(hs, ddx)        ddx in {0,1,2}: conv tap (rows, W, Ch) of a
+                          ring-padded (rows, W+2, Ch) slab. Packed: the
+                          x-neighbour pixel lives one chq-lane slot over
+                          (a +-chq lane roll = register renaming when chq
+                          is a multiple of 128); slot 0/p-1 wrap into the
+                          adjacent packed column via the shifted slice.
+      ln_apply(tok, s, b, prec)      LN'd tokens in tok.dtype.
+      ln_stats(tok, s, b, prec)      (t, that fp32, rsig fp32) for the
+                                     backward; that/rsig None if no LN.
+      group_mean(v, prec)            per-pixel mean within each packed
+                                     slot group, fp32 (packed LN: lane
+                                     reductions cannot cross the cq-lane
+                                     slot groups, so the mean is an MXU
+                                     pass against a block-diagonal 1/cq
+                                     matrix that lands each pixel's mean
+                                     broadcast into its own lanes).
+    """
+    cq = C // p
+    chq = Ch // p
+    f32 = jnp.float32
+
+    def tap(hs, ddx):
+        if p == 1:
+            return hs[:, ddx:ddx + W]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
+        ctr = hs[:, 1:W + 1]
+        if ddx == 1:
+            return ctr
+        if ddx == 0:
+            A = jnp.roll(hs, chq, axis=2)
+            return jnp.where(lane < chq, A[:, 0:W], A[:, 1:W + 1])
+        Bv = jnp.roll(hs, -chq, axis=2)
+        return jnp.where(lane >= (p - 1) * chq, Bv[:, 2:W + 2],
+                         Bv[:, 1:W + 1])
+
+    def group_mean_mat(dtype):
+        li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        return jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0).astype(dtype)
+
+    def ln_stats(tok, ln_s, ln_b, prec):
+        if not has_ln:
+            return tok, None, None
+        tf = tok.astype(f32)
+        if p == 1:
+            mu = tf.mean(-1, keepdims=True)
+            var = tf.var(-1, keepdims=True)
+            rsig = jax.lax.rsqrt(var + 1e-5)
+            that = (tf - mu) * rsig
+        else:
+            mmat = group_mean_mat(tok.dtype)
+            mu = jax.lax.dot_general(
+                tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            cen = tf - mu
+            cb = cen.astype(tok.dtype)
+            var = jax.lax.dot_general(
+                cb * cb, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            rsig = jax.lax.rsqrt(var + 1e-5)
+            that = cen * rsig
+        t = (that * ln_s.astype(f32) + ln_b.astype(f32)).astype(tok.dtype)
+        return t, that, rsig
+
+    def ln_apply(tok, ln_s, ln_b, prec):
+        return ln_stats(tok, ln_s, ln_b, prec)[0]
+
+    def group_mean(v, prec):
+        if p == 1:
+            return v.mean(-1, keepdims=True)
+        mmat = group_mean_mat(x_dtype)
+        return jax.lax.dot_general(
+            v.astype(x_dtype), mmat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+
+    return tap, ln_apply, ln_stats, group_mean
+
+
 def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
     """(B, Hp+2, W+2, C) -> (B, nT, Th+2, W+2, C) with 2-row overlap."""
     H = xp.shape[1] - 2
@@ -103,8 +189,7 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
     HBM row and every VPU/MXU op at full 128 lanes."""
     cheap = out_dtype == jnp.bfloat16
     acc_dtype = jnp.float32 if conv_f32 else out_dtype
-    cq = C // p   # true per-pixel channel width
-    chq = Ch // p
+    tap, ln_apply, _, _ = _packed_helpers(W, C, Ch, p, has_ln, out_dtype)
 
     # Row-chunked pipeline: the LeFF chain (matmul -> GELU -> 9-tap conv ->
     # GELU -> matmul) is a strict MXU->VPU->VPU->MXU dependency per tile,
@@ -143,39 +228,12 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
         prec = (jax.lax.Precision.HIGHEST
                 if xt.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
-        # phase A: hidden = gelu(x @ w1 + b1), chunked over rows
+        # phase A: hidden = gelu(LN(x) @ w1 + b1), chunked over rows.
+        # (Packed LN via MXU group-mean — measured: the lane-slice LN it
+        # replaced cost ~1.8 ms/stage at 256². See _packed_helpers.)
         for r0, rows_a in _row_chunks(Th + 2):
-            tok = xt[r0:r0 + rows_a].reshape(rows_a * (W + 2), C)
-            if has_ln and p == 1:
-                tf = tok.astype(jnp.float32)
-                mu = tf.mean(-1, keepdims=True)
-                var = tf.var(-1, keepdims=True)
-                tf = (tf - mu) * jax.lax.rsqrt(var + 1e-5)
-                tok = (tf * ln_s_ref[:].astype(jnp.float32)
-                       + ln_b_ref[:].astype(jnp.float32)).astype(xt.dtype)
-            elif has_ln:
-                # packed: per-pixel LN via an MXU pass — lane reductions
-                # cannot cross the cq-lane slot groups, but tok @ Mmat
-                # (block-diagonal 1/cq) lands each pixel's mean broadcast
-                # into its own lanes, fp32-accumulated. Variance from the
-                # CENTERED square (no mu^2 cancellation). Measured: the
-                # lane-slice LN this replaces cost ~1.8 ms/stage at 256².
-                li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-                lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-                mmat = jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0) \
-                    .astype(xt.dtype)
-                mu = jax.lax.dot_general(
-                    tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
-                cen = tok.astype(jnp.float32) - mu
-                cb = cen.astype(xt.dtype)
-                var = jax.lax.dot_general(
-                    cb * cb, mmat,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
-                tok = (cen * jax.lax.rsqrt(var + 1e-5)
-                       * ln_s_ref[:].astype(jnp.float32)
-                       + ln_b_ref[:].astype(jnp.float32)).astype(xt.dtype)
+            tok = ln_apply(xt[r0:r0 + rows_a].reshape(rows_a * (W + 2), C),
+                           ln_s_ref[:], ln_b_ref[:], prec)
             h = jax.lax.dot_general(
                 tok, w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -204,36 +262,13 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
 
         # phase B: out = gelu(dwconv3x3(hidden)) @ w2 + b2, chunked over
         # rows (the +-1-row conv halo reads the shared hidden scratch)
-        if p > 1:
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
-            first_slot = lane < chq            # pixel slot 0 of its column
-            last_slot = lane >= (p - 1) * chq  # pixel slot p-1
         for r0, rows_b in _row_chunks(Th):
             acc = jnp.zeros((rows_b, W, Ch), acc_dtype)
             for dy in range(3):
-                if p == 1:
-                    for dx in range(3):
-                        tap = hid_ref[r0 + dy:r0 + dy + rows_b,
-                                      dx:dx + W, :]
-                        acc += tap.astype(acc_dtype) * \
-                            wd_ref[dy, dx, :].astype(acc_dtype)
-                    continue
-                # packed: the x-neighbour pixel lives one chq-lane slot
-                # over; a +-chq lane roll is whole-register renaming when
-                # chq is a multiple of 128. Slot 0/p-1 wrap into the
-                # adjacent packed column, fixed by the shifted col slice.
                 hs = hid_ref[r0 + dy:r0 + dy + rows_b]  # (rows, W+2, Ch)
-                ctr = hs[:, 1:W + 1]
-                A = jnp.roll(hs, chq, axis=2)
-                left = jnp.where(first_slot, A[:, 0:W], A[:, 1:W + 1])
-                Bv = jnp.roll(hs, -chq, axis=2)
-                right = jnp.where(last_slot, Bv[:, 2:W + 2], Bv[:, 1:W + 1])
-                acc += left.astype(acc_dtype) * \
-                    wd_ref[dy, 0, :].astype(acc_dtype)
-                acc += ctr.astype(acc_dtype) * \
-                    wd_ref[dy, 1, :].astype(acc_dtype)
-                acc += right.astype(acc_dtype) * \
-                    wd_ref[dy, 2, :].astype(acc_dtype)
+                for dx in range(3):
+                    acc += tap(hs, dx).astype(acc_dtype) * \
+                        wd_ref[dy, dx, :].astype(acc_dtype)
             acc = _gelu(acc + bd_ref[:].astype(acc_dtype), cheap=cheap)
             out = jax.lax.dot_general(
                 acc.astype(xt.dtype).reshape(rows_b * W, Ch), w2_ref[:],
@@ -257,48 +292,8 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
     images and needs no halo logic at all (the conv ring is an in-VMEM
     zero pad per image)."""
     cheap = out_dtype == jnp.bfloat16
-    cq = C // p
-    chq = Ch // p
     f32 = jnp.float32
-
-    def tap(hs, ddx):
-        if p == 1:
-            return hs[:, ddx:ddx + W]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
-        ctr = hs[:, 1:W + 1]
-        if ddx == 1:
-            return ctr
-        if ddx == 0:
-            A = jnp.roll(hs, chq, axis=2)
-            return jnp.where(lane < chq, A[:, 0:W], A[:, 1:W + 1])
-        Bv = jnp.roll(hs, -chq, axis=2)
-        return jnp.where(lane >= (p - 1) * chq, Bv[:, 2:W + 2],
-                         Bv[:, 1:W + 1])
-
-    def ln_apply(tok, ln_s, ln_b, prec):
-        if not has_ln:
-            return tok
-        tf = tok.astype(f32)
-        if p == 1:
-            mu = tf.mean(-1, keepdims=True)
-            var = tf.var(-1, keepdims=True)
-            that = (tf - mu) * jax.lax.rsqrt(var + 1e-5)
-        else:
-            li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-            lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-            mmat = jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0) \
-                .astype(tok.dtype)
-            mu = jax.lax.dot_general(
-                tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec)
-            cen = tf - mu
-            cb = cen.astype(tok.dtype)
-            var = jax.lax.dot_general(
-                cb * cb, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec)
-            that = cen * jax.lax.rsqrt(var + 1e-5)
-        return (that * ln_s.astype(f32) + ln_b.astype(f32)) \
-            .astype(tok.dtype)
+    tap, ln_apply, _, _ = _packed_helpers(W, C, Ch, p, has_ln, out_dtype)
 
     def kernel(xm_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
                w2_ref, b2_ref, o_ref, hid_ref):
@@ -412,66 +407,9 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
     matching the forward's zero conv ring — pad rows contribute nothing
     to any gradient."""
     cheap = x_dtype == jnp.bfloat16
-    cq = C // p
-    chq = Ch // p
     f32 = jnp.float32
-
-    def tap(hs, ddx, rows):
-        """ddx-tap (rows, W, Ch) of a ring-padded (rows, W+2, Ch) slab;
-        same packed-neighbour semantics as the forward conv."""
-        if p == 1:
-            return hs[:, ddx:ddx + W]
-        lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
-        ctr = hs[:, 1:W + 1]
-        if ddx == 1:
-            return ctr
-        if ddx == 0:
-            A = jnp.roll(hs, chq, axis=2)
-            return jnp.where(lane_h < chq, A[:, 0:W], A[:, 1:W + 1])
-        Bv = jnp.roll(hs, -chq, axis=2)
-        return jnp.where(lane_h >= (p - 1) * chq, Bv[:, 2:W + 2],
-                         Bv[:, 1:W + 1])
-
-    def ln_apply(tok, ln_s, ln_b, prec):
-        """Returns (t in x dtype, that fp32, rsig fp32). that/rsig only
-        meaningful when has_ln."""
-        if not has_ln:
-            return tok, None, None
-        tf = tok.astype(f32)
-        if p == 1:
-            mu = tf.mean(-1, keepdims=True)
-            var = tf.var(-1, keepdims=True)
-            rsig = jax.lax.rsqrt(var + 1e-5)
-            that = (tf - mu) * rsig
-        else:
-            mmat = _group_mean_mat(tok.dtype)
-            mu = jax.lax.dot_general(
-                tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec)
-            cen = tf - mu
-            cb = cen.astype(tok.dtype)
-            var = jax.lax.dot_general(
-                cb * cb, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec)
-            rsig = jax.lax.rsqrt(var + 1e-5)
-            that = cen * rsig
-        t = (that * ln_s.astype(f32) + ln_b.astype(f32)).astype(tok.dtype)
-        return t, that, rsig
-
-    def _group_mean_mat(dtype):
-        li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-        lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-        return jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0).astype(dtype)
-
-    def group_mean(v, prec):
-        """Per-pixel mean within each packed slot group, fp32."""
-        if p == 1:
-            return v.mean(-1, keepdims=True)
-        mmat = _group_mean_mat(x_dtype)
-        return jax.lax.dot_general(
-            v.astype(x_dtype), mmat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=prec)
+    tap, _, ln_stats, group_mean = _packed_helpers(W, C, Ch, p, has_ln,
+                                                   x_dtype)
 
     def kernel(xm_ref, xa_ref, xb_ref, dym_ref, dya_ref, dyb_ref,
                ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
@@ -499,7 +437,7 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
         zc = jnp.zeros((Th + 4, 1, C), xm.dtype)
         xe = jnp.concatenate([zc, xe, zc], axis=1)  # (Th+4, W+2, C)
         toke = xe.reshape((Th + 4) * (W + 2), C)
-        te, _, _ = ln_apply(toke, ln_s_ref[:], ln_b_ref[:], prec)
+        te, _, _ = ln_stats(toke, ln_s_ref[:], ln_b_ref[:], prec)
         h = jax.lax.dot_general(
             te, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=prec)
@@ -532,7 +470,7 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
         for ddy in range(3):
             rows = a1e_ref[ddy:ddy + Th + 2]
             for ddx in range(3):
-                acc += tap(rows, ddx, Th + 2).astype(f32) * \
+                acc += tap(rows, ddx).astype(f32) * \
                     wd_ref[ddy, ddx, :].astype(f32)
         hc = acc + bd_ref[:].astype(f32)
         dhc = _dgelu(hc, cheap=cheap) * g2.reshape(Th + 2, W, Ch)
@@ -553,7 +491,7 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
         for ddy in range(3):
             rows = a1e_ref[1 + ddy:1 + ddy + Th]
             for ddx in range(3):
-                a1t = tap(rows, ddx, Th).astype(f32)
+                a1t = tap(rows, ddx).astype(f32)
                 dwd_ref[ddy, ddx, :] += jnp.sum(a1t * dhc_own, axis=(0, 1))
 
         # ---- phase 3: da1 -> dh1 -> dw1/db1/dt -> LN backward -> dx
@@ -561,10 +499,10 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
         for ddy in range(3):
             rows = dhce_ref[2 - ddy:2 - ddy + Th]
             for ddx in range(3):
-                da1 += tap(rows, 2 - ddx, Th).astype(f32) * \
+                da1 += tap(rows, 2 - ddx).astype(f32) * \
                     wd_ref[ddy, ddx, :].astype(f32)
         tok_own = xm.reshape(Th * W, C)
-        t_own, that, rsig = ln_apply(tok_own, ln_s_ref[:], ln_b_ref[:],
+        t_own, that, rsig = ln_stats(tok_own, ln_s_ref[:], ln_b_ref[:],
                                      prec)
         h1_own = jax.lax.dot_general(
             t_own, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -606,61 +544,9 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
     logic (ring zeros per image), fp32 weight-grad accumulators in
     constant-index output blocks."""
     cheap = x_dtype == jnp.bfloat16
-    cq = C // p
-    chq = Ch // p
     f32 = jnp.float32
-
-    def tap(hs, ddx):
-        if p == 1:
-            return hs[:, ddx:ddx + W]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
-        ctr = hs[:, 1:W + 1]
-        if ddx == 1:
-            return ctr
-        if ddx == 0:
-            A = jnp.roll(hs, chq, axis=2)
-            return jnp.where(lane < chq, A[:, 0:W], A[:, 1:W + 1])
-        Bv = jnp.roll(hs, -chq, axis=2)
-        return jnp.where(lane >= (p - 1) * chq, Bv[:, 2:W + 2],
-                         Bv[:, 1:W + 1])
-
-    def _group_mean_mat(dtype):
-        li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-        lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-        return jnp.where(li // cq == lj // cq, 1.0 / cq, 0.0).astype(dtype)
-
-    def ln_apply(tok, ln_s, ln_b, prec):
-        if not has_ln:
-            return tok, None, None
-        tf = tok.astype(f32)
-        if p == 1:
-            mu = tf.mean(-1, keepdims=True)
-            var = tf.var(-1, keepdims=True)
-            rsig = jax.lax.rsqrt(var + 1e-5)
-            that = (tf - mu) * rsig
-        else:
-            mmat = _group_mean_mat(tok.dtype)
-            mu = jax.lax.dot_general(
-                tok, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec)
-            cen = tf - mu
-            cb = cen.astype(tok.dtype)
-            var = jax.lax.dot_general(
-                cb * cb, mmat, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec)
-            rsig = jax.lax.rsqrt(var + 1e-5)
-            that = cen * rsig
-        t = (that * ln_s.astype(f32) + ln_b.astype(f32)).astype(tok.dtype)
-        return t, that, rsig
-
-    def group_mean(v, prec):
-        if p == 1:
-            return v.mean(-1, keepdims=True)
-        mmat = _group_mean_mat(x_dtype)
-        return jax.lax.dot_general(
-            v.astype(x_dtype), mmat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=prec)
+    tap, _, ln_stats, group_mean = _packed_helpers(W, C, Ch, p, has_ln,
+                                                   x_dtype)
 
     def kernel(xm_ref, dym_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref,
                wd_ref, bd_ref, w2_ref,
@@ -682,7 +568,7 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
                 dyi = jnp.where(ri < H0, dyi, 0)
 
             # phase 1: a1 (post-act) with ring + pad-row zeros
-            tok, that, rsig = ln_apply(xi.reshape(H * W, C), ln_s_ref[:],
+            tok, that, rsig = ln_stats(xi.reshape(H * W, C), ln_s_ref[:],
                                        ln_b_ref[:], prec)
             h1 = jax.lax.dot_general(
                 tok, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
