@@ -20,11 +20,13 @@ TPU-shaping decisions:
     relative-position bias is tiled across the g² quadrants (cross
     quadrants are masked). Halves MXU passes for logits/PV and runs
     softmax on full 128-wide lanes instead of half-padded ones.
-  * Heads as a grid dimension: grid = (Bw/T, nH), one head per step, with
-    the x tile and output accumulator revisited across head steps (Mosaic
-    keeps revisited blocks in VMEM — no re-DMA). Keeps only one head's
-    intermediates live (VMEM) and shrinks the kernel body nH-fold
-    (compile time).
+  * Head GROUPS of hg = 128//D heads inside one grid step (grid =
+    (Bw/T,)): q/k/v and output projections run as (T*N, C) @ (C, hg*D =
+    128) MXU passes — full 128 lanes instead of per-head D-wide
+    quarter-tiles — with only the logits/PV contractions at K=D
+    (inherent to MHSA). The softmax scale is folded into q right after
+    the projection, so the (T//g, P, P) logits volume skips a
+    scalar-multiply pass per head.
   * Geometry (H, W, shift, windows-per-row) rides in SMEM via scalar
     prefetch, so ONE kernel per (T, N, C, nH) compiles for all
     resolutions and both shift variants of a stage — the shift mask is
@@ -129,7 +131,11 @@ def _make_kernel(T, N, C, nH, D, win, g, hg, scale, has_mod, has_ln, shifted,
                 return (y + b_ref[gi, 0].astype(jnp.float32)) \
                     .astype(tok.dtype)
 
-            qg = proj(wq_ref, bq_ref)  # (T*N, hg*D)
+            # fold the softmax scale into q right after the projection
+            # (one cheap pass over (T*N, hg*D)) so the (T//g, P, P)
+            # logits tensor skips a full scalar-multiply pass per head
+            qg = (proj(wq_ref, bq_ref).astype(jnp.float32)
+                  * jnp.float32(scale)).astype(tok.dtype)
             kg = proj(wk_ref, bk_ref)
             vg = proj(wv_ref, bv_ref)
             o_parts = []
@@ -149,11 +155,11 @@ def _make_kernel(T, N, C, nH, D, win, g, hg, scale, has_mod, has_ln, shifted,
                     q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32, precision=prec)
                 if shifted:
-                    logits = logits * scale + bias_h[None] + smask
+                    logits = logits + bias_h[None] + smask
                 elif smask2d is not None:
-                    logits = logits * scale + (bias_h + smask2d)[None]
+                    logits = logits + (bias_h + smask2d)[None]
                 else:
-                    logits = logits * scale + bias_h[None]
+                    logits = logits + bias_h[None]
                 probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
                 o_parts.append(jax.lax.dot_general(
                     probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
