@@ -275,11 +275,35 @@ def bench_train():
     }
 
 
+def _device_preflight(timeout_s: int = 180) -> bool:
+    """Probe device init in a subprocess: the tunneled TPU platform can
+    hang indefinitely at `import jax` when the tunnel is down, which
+    would turn the whole bench into a silent hang."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["all", "infer", "train", "aux"],
                     default="all")
     args = ap.parse_args()
+
+    if args.mode in ("all", "infer") and not _device_preflight():
+        # fail fast with an honest JSON line instead of hanging the driver
+        print(json.dumps({
+            "metric": "uformer_b_256_inference_throughput",
+            "value": None, "unit": "megapixels/sec/chip",
+            "vs_baseline": None,
+            "error": "device platform unreachable (tunnel down?)",
+        }))
+        return
 
     if args.mode == "train":
         print("TRAIN_RESULT " + json.dumps(bench_train()))
