@@ -109,8 +109,9 @@ def bench_attn_image(B):
     win = 8
     rows = []
     for name, reso, C, nH, depth in STAGES:
-        if C % 128:
+        if C % 128 and (128 % C or C < 32):
             continue
+        packed = bool(C % 128)  # pixel-packed narrow-C variant
         D = C // nH
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(size=(B, reso, reso, C)).astype(np.float32)
@@ -133,7 +134,8 @@ def bench_attn_image(B):
             t = measure(call, x, ws)
             flops = B * reso * reso * (8 * C * C + 4 * 128 * C)
             floor = flops / PEAK
-            row = (f"attnimg {name} s{shift}", t * 1e3, depth,
+            tag = "attnimg-pk" if packed else "attnimg"
+            row = (f"{tag} {name} s{shift}", t * 1e3, depth,
                    floor * 1e3, t / floor)
             print(ROWFMT.format(*row), flush=True)
             rows.append(row)

@@ -84,3 +84,54 @@ def test_uformer_image_path_matches_jnp_backend():
     y2 = m_pal.apply(p, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+@pytest.mark.parametrize("geom", [(1, 16, 16, 32, 1), (2, 16, 24, 64, 2),
+                                  (1, 32, 16, 64, 1)])
+def test_packed_image_block_matches_reference(geom, shift):
+    """Pixel-packed narrow-C variant (p = 128//C): kron projections,
+    perm-order attention core, packed LN/rolls/window chains."""
+    B, H, W, C, nH = geom
+    kw = dict(win=8, shift=shift, scale=0.17, num_heads=nH, residual=True)
+    inp = _inputs(3, B, H, W, C, nH)
+    want = attention_image_reference(**inp, **kw)
+    got = fused_attention_image(*inp.values(), interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_packed_image_block_no_mod_no_ln_no_residual():
+    inp = _inputs(4, 1, 16, 16, 32, 1)
+    inp["mod"] = None
+    inp["ln_s"] = None
+    inp["ln_b"] = None
+    kw = dict(win=8, shift=4, scale=0.2, num_heads=1, residual=False,
+              has_ln=False)
+    want = attention_image_reference(**inp, **kw)
+    got = fused_attention_image(*inp.values(), interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_packed_routing_basiclayer_matches_jnp(monkeypatch):
+    """With UFORMER_TPU_PACKED_ATTN set, narrow-C (32/64) BasicLayers
+    route attention through the packed image kernel; outputs match the
+    jnp per-block path with shared params."""
+    from uformer_tpu.models.layers import BasicLayer
+
+    monkeypatch.setenv("UFORMER_TPU_PACKED_ATTN", "1")
+    for C, nH in ((32, 1), (64, 2)):
+        kw = dict(dim=C, depth=2, num_heads=nH, win_size=8, resolution=16,
+                  mlp_ratio=2.0, token_mlp="leff", modulator=True,
+                  shift_flag=True)
+        x = jnp.asarray(
+            np.random.default_rng(C).normal(size=(1, 16, 16, C))
+            .astype(np.float32) * 0.2)
+        l_jnp = BasicLayer(attn_backend="jnp", **kw)
+        l_pk = BasicLayer(attn_backend="pallas", **kw)
+        params = l_jnp.init(jax.random.PRNGKey(0), x)
+        want = l_jnp.apply(params, x)
+        got = l_pk.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)

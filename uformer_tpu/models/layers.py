@@ -735,9 +735,17 @@ class LeWinBlock(nn.Module):
         # partition + attention + reverse + unshift + residual in ONE
         # kernel — the XLA glue between them never touches HBM. Lane
         # alignment (C % 128) keeps every in-kernel reshape layout-free;
-        # narrower stages stay on the windowed kernel below.
+        # narrow stages (128 % C == 0: C=32/64) have a pixel-packed
+        # variant (kron projections + perm-order core) that reads the
+        # image as full-lane (H, W/p, 128) rows — opt-in via
+        # UFORMER_TPU_PACKED_ATTN=1 until its Mosaic compile is
+        # validated on hardware; otherwise they use the windowed kernel.
+        import os as _os
+        narrow_ok = (128 % self.dim == 0 and self.dim >= 32
+                     and (shift % (128 // self.dim) == 0)
+                     and bool(_os.environ.get("UFORMER_TPU_PACKED_ATTN")))
         use_image = (fused and deterministic and win == 8
-                     and self.dim % 128 == 0)
+                     and (self.dim % 128 == 0 or narrow_ok))
         if use_image:
             ln1 = _LNParams(self.dim, name="norm1")()
             x = WindowAttention(
