@@ -29,6 +29,8 @@ STEPS = [
                "import jax; print(jax.devices())"], 120, True),
     ("bench_infer", [sys.executable, "bench.py", "--mode", "infer"],
      900, True),
+    ("bench_infer_packed_attn",
+     [sys.executable, "bench.py", "--mode", "infer"], 900, True),
     ("kernel_bench", [sys.executable, "scripts/kernel_bench.py"], 1500,
      False),
     ("bench_train", [sys.executable, "bench.py", "--mode", "train"],
@@ -55,10 +57,13 @@ def main():
         if args.quick and not quick:
             continue
         path = os.path.join(OUT, f"{name}.txt")
+        env = dict(os.environ)
+        if name.endswith("_packed_attn"):
+            env["UFORMER_TPU_PACKED_ATTN"] = "1"
         t0 = time.time()
         try:
             r = subprocess.run(argv, cwd=ROOT, capture_output=True,
-                               text=True, timeout=tmo)
+                               text=True, timeout=tmo, env=env)
             body = r.stdout + ("\n--- stderr ---\n" + r.stderr
                                if r.returncode else "")
             status = f"rc={r.returncode}"
