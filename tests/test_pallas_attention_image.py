@@ -88,7 +88,8 @@ def test_uformer_image_path_matches_jnp_backend():
 
 @pytest.mark.parametrize("shift", [0, 4])
 @pytest.mark.parametrize("geom", [(1, 16, 16, 32, 1), (2, 16, 24, 64, 2),
-                                  (1, 32, 16, 64, 1)])
+                                  (1, 32, 16, 64, 1),
+                                  (1, 16, 24, 32, 1)])  # W8=3 odd -> g=1
 def test_packed_image_block_matches_reference(geom, shift):
     """Pixel-packed narrow-C variant (p = 128//C): kron projections,
     perm-order attention core, packed LN/rolls/window chains."""
