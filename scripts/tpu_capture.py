@@ -33,6 +33,10 @@ STEPS = [
      [sys.executable, "bench.py", "--mode", "infer"], 900, True),
     ("kernel_bench", [sys.executable, "scripts/kernel_bench.py"], 1500,
      False),
+    ("kernel_bench_packed_attn",
+     [sys.executable, "scripts/kernel_bench.py"], 1500, False),
+    ("bench_train_packed_attn",
+     [sys.executable, "bench.py", "--mode", "train"], 1500, False),
     ("bench_train", [sys.executable, "bench.py", "--mode", "train"],
      1500, False),
     ("bench_aux", [sys.executable, "bench.py", "--mode", "aux"], 1500,

@@ -151,3 +151,87 @@ def test_fused_block_bwd_kernel_matches_autodiff(shift, nH, has_ln, has_mod):
         scale = max(np.abs(w).max(), 1.0)
         np.testing.assert_allclose(g, w, atol=2e-4 * scale, rtol=2e-4,
                                    err_msg=f"{name} (shift={shift})")
+
+
+@pytest.mark.parametrize("geom", [(32, 1, 16, 16), (64, 2, 16, 24)])
+@pytest.mark.parametrize("shift", [0, 4])
+def test_packed_block_fwd_bwd_matches_reference(geom, shift, monkeypatch):
+    """Pixel-packed narrow-C windowed kernels (fwd + fused bwd in kron
+    space): parity vs the jnp reference and its autodiff."""
+    from uformer_tpu.ops.pallas.attention_block import (
+        fused_attention_block_bwd,
+    )
+
+    monkeypatch.setenv("UFORMER_TPU_PACKED_ATTN", "1")
+    C, nH, H, W = geom
+    N = 64
+    Bw = (H // 8) * (W // 8)
+    kw = dict(win=8, shift=shift, H=H, W=W, scale=0.17, num_heads=nH)
+    inp = _inputs(11, Bw, N, C, nH)
+    want = attention_block_reference(
+        inp["x"], inp["mod"], None, None, inp["wq"], inp["bq"],
+        inp["wkv"], inp["bkv"], inp["wo"], inp["bo"], inp["bias"],
+        has_ln=False, **kw)
+    got = fused_attention_block(
+        inp["x"], inp["mod"], None, None, inp["wq"], inp["bq"],
+        inp["wkv"], inp["bkv"], inp["wo"], inp["bo"], inp["bias"],
+        has_ln=False, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+    dy = jnp.asarray(np.random.default_rng(12)
+                     .normal(size=(Bw, N, C)).astype(np.float32))
+
+    def loss(x, mod, wq, bq, wkv, bkv, wo, bo, bias):
+        return jnp.sum(attention_block_reference(
+            x, mod, None, None, wq, bq, wkv, bkv, wo, bo, bias,
+            has_ln=False, **kw) * dy)
+
+    want_g = jax.grad(loss, argnums=tuple(range(9)))(
+        inp["x"], inp["mod"], inp["wq"], inp["bq"], inp["wkv"],
+        inp["bkv"], inp["wo"], inp["bo"], inp["bias"])
+    got_g = fused_attention_block_bwd(
+        inp["x"], dy, inp["mod"], None, None, inp["wq"], inp["bq"],
+        inp["wkv"], inp["bkv"], inp["wo"], inp["bo"], inp["bias"],
+        has_ln=False, has_mod=True, interpret=True, **kw)
+    # got order: dx, dmod, dls, dlb, dwq, dbq, dwkv, dbkv, dwo, dbo, dbias
+    got_map = dict(zip(["dx", "dmod", "dls", "dlb", "dwq", "dbq", "dwkv",
+                        "dbkv", "dwo", "dbo", "dbias"], got_g))
+    want_map = dict(zip(["dx", "dmod", "dwq", "dbq", "dwkv", "dbkv",
+                         "dwo", "dbo", "dbias"], want_g))
+    for name, w in want_map.items():
+        g = np.asarray(got_map[name])
+        w = np.asarray(w)
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(g, w, atol=2e-4 * scale, rtol=2e-4,
+                                   err_msg=f"{name} (C={C}, shift={shift})")
+
+
+def test_packed_block_training_gradients_match_jnp(monkeypatch):
+    """End-to-end training-path check: a narrow-C LeWinBlock in
+    non-deterministic mode (the train route) with the packed kernels
+    gives the same loss gradients as the jnp backend."""
+    from uformer_tpu.models.layers import LeWinBlock
+
+    monkeypatch.setenv("UFORMER_TPU_PACKED_ATTN", "1")
+    kw = dict(dim=32, num_heads=1, win_size=8, shift_size=4,
+              mlp_ratio=2.0, token_mlp="leff", modulator=True)
+    x = jnp.asarray(np.random.default_rng(5)
+                    .normal(size=(1, 16, 16, 32)).astype(np.float32) * 0.2)
+    b_jnp = LeWinBlock(attn_backend="jnp", **kw)
+    b_pal = LeWinBlock(attn_backend="pallas", **kw)
+    params = b_jnp.init(jax.random.PRNGKey(0), x)
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+
+    def loss(mod, p):
+        y = mod.apply(p, x, deterministic=False, rngs=rngs)
+        return jnp.mean(y ** 2)
+
+    want = jax.grad(lambda p: loss(b_jnp, p))(params)
+    got = jax.grad(lambda p: loss(b_pal, p))(params)
+    for (kp, w), (_, g) in zip(
+            jax.tree_util.tree_leaves_with_path(want),
+            jax.tree_util.tree_leaves_with_path(got)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=2e-4,
+            err_msg=jax.tree_util.keystr(kp))

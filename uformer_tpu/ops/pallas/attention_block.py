@@ -61,6 +61,140 @@ def _region_ids(win, shift, size, w_idx, in_win):
             + (g >= size - shift).astype(jnp.int32))
 
 
+def _packed_coords(p, N, cols):
+    """(row, col) within a window from a PERM token index (see
+    attention_image._perm_indices): a = i*K + j, j = r*wp8 + pc,
+    true token t = r*win + pc*p + i."""
+    win = int(N ** 0.5)
+    K = N // p
+    wp8 = win // p
+    a = cols % N
+    in_r = (a % K) // wp8
+    in_c = (a % wp8) * p + a // K
+    return in_r, in_c
+
+
+def _perm_assemble(src, base, p, T, K, D, g):
+    """Per-head (T//g, P, D) from packed lanes: slot lane-slices
+    concatenated on sublanes (perm token order a = i*K + j)."""
+    parts = [src[:, base(i):base(i) + D].reshape(T, K, D)
+             for i in range(p)]
+    y = parts[0] if p == 1 else jnp.concatenate(parts, axis=1)
+    return y.reshape(T // g, g * p * K, D)
+
+
+def _perm_disassemble(heads, p, T, K, D, nH):
+    """Inverse: list over true heads of (T//g, P, D) perm-order arrays
+    -> (T*K, 128) packed lanes (slot i, head h at lanes i*nH*D + h*D)."""
+    slot_blocks = []
+    for i in range(p):
+        hb = [oh.reshape(T, p * K, D)[:, i * K:(i + 1) * K, :]
+              for oh in heads]
+        slot_blocks.append(hb[0] if nH == 1
+                           else jnp.concatenate(hb, axis=-1))
+    y = (slot_blocks[0] if p == 1
+         else jnp.concatenate(slot_blocks, axis=-1))
+    return y.reshape(T * K, p * nH * D)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_packed_kernel(T, N, C, p, nH, D, win, g, scale, has_mod, shifted,
+                        out_dtype):
+    """Pixel-packed windowed attention forward for narrow C (p*C == 128):
+    tokens arrive (T, K=N/p, 128) — the FREE packed view of (T, N, C) —
+    so DMA and the kron-expanded q/kv/o projections run on full 128
+    lanes; the per-head core uses slot lane-slices + sublane concats in
+    perm token order (rel-pos bias pre-permuted host-side). LN folding
+    is not supported here (the model's windowed path LNs outside)."""
+    K = N // p
+    CP = p * C
+    P = g * N
+    f32 = jnp.float32
+
+    def kernel(geom_ref, x_ref, mod_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
+               wo_ref, bo_ref, bias_ref, o_ref):
+        H, W, shift, nW_w, nW = (geom_ref[0], geom_ref[1], geom_ref[2],
+                                 geom_ref[3], geom_ref[4])
+        xt = x_ref[0]                      # (T, K, 128)
+        tok = xt.reshape(T * K, CP)
+        if has_mod:
+            tok = (tok.reshape(T, K, CP)
+                   + mod_ref[:][None].astype(tok.dtype)).reshape(T * K, CP)
+        prec = (jax.lax.Precision.HIGHEST
+                if tok.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+        if shifted:
+            base = pl.program_id(0) * T
+            rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
+            widx = base + rows * g + cols // N
+            in_r, in_c = _packed_coords(p, N, cols)
+            w_in_img = widx % nW
+            wi = w_in_img // nW_w
+            wj = w_in_img - wi * nW_w
+            rh = _region_ids(win, shift, H, wi, in_r)
+            rw = _region_ids(win, shift, W, wj, in_c)
+            rid = widx * 9 + rh * 3 + rw
+            smask = ((rid[:, :, None] != rid[:, None, :]).astype(f32)
+                     * jnp.float32(-100.0))
+            smask2d = None
+        elif g > 1:
+            ra = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) // N
+            ca = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1) // N
+            smask2d = (ra != ca).astype(f32) * jnp.float32(-100.0)
+            smask = None
+        else:
+            smask = smask2d = None
+
+        def proj(w_ref, b_ref, mul=None):
+            y = jax.lax.dot_general(
+                tok, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            y = y + b_ref[0].astype(f32)
+            if mul is not None:  # fold the softmax scale into q
+                y = y * mul
+            return y.astype(tok.dtype)
+
+        qg = proj(wq_ref, bq_ref, jnp.float32(scale))   # (T*K, 128)
+        kvg = proj(wkv_ref, bkv_ref)                    # (T*K, 256)
+
+        o_heads = []
+        for h in range(nH):
+            q = _perm_assemble(qg, lambda i, h=h: i * C + h * D,
+                               p, T, K, D, g)
+            k = _perm_assemble(kvg, lambda i, h=h: i * 2 * C + h * D,
+                               p, T, K, D, g)
+            v = _perm_assemble(kvg, lambda i, h=h: i * 2 * C + C + h * D,
+                               p, T, K, D, g)
+            bias_h = bias_ref[h]   # (N, N) fp32, PRE-PERMUTED host-side
+            if g > 1:
+                bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                bias_h = jnp.concatenate([bias_h] * g, axis=-2)
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec)
+            if shifted:
+                logits = logits + bias_h[None] + smask
+            elif smask2d is not None:
+                logits = logits + (bias_h + smask2d)[None]
+            else:
+                logits = logits + bias_h[None]
+            probs = jax.nn.softmax(logits, axis=-1).astype(tok.dtype)
+            o_heads.append(jax.lax.dot_general(
+                probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec,
+            ).astype(tok.dtype))
+
+        o_packed = _perm_disassemble(o_heads, p, T, K, D, nH)
+        out = jax.lax.dot_general(
+            o_packed, wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        out = out + bo_ref[0].astype(f32)
+        o_ref[0] = out.reshape(T, K, CP).astype(out_dtype)
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=None)
 def _make_kernel(T, N, C, nH, D, win, g, hg, scale, has_mod, has_ln, shifted,
                  out_dtype):
@@ -217,6 +351,179 @@ def attention_block_reference(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
             if shift > 0 else None)
     out = _window_attention_jnp(q, k, v, bias, mask, scale=scale)
     return (out @ wo.astype(x.dtype)) + bo.astype(x.dtype)
+
+
+def _perm_disassemble_kv(k_heads, v_heads, p, T, K, D, nH):
+    """Perm-order per-head dk/dv -> packed (T*K, 2*p*C) lanes matching
+    the kron(I_p, wkv) layout: slot i holds [k heads | v heads]."""
+    C = nH * D
+    slot_blocks = []
+    for i in range(p):
+        kb = [kh.reshape(T, p * K, D)[:, i * K:(i + 1) * K]
+              for kh in k_heads]
+        vb = [vh.reshape(T, p * K, D)[:, i * K:(i + 1) * K]
+              for vh in v_heads]
+        slot_blocks.append(jnp.concatenate(kb + vb, axis=-1))
+    y = (slot_blocks[0] if p == 1
+         else jnp.concatenate(slot_blocks, axis=-1))
+    return y.reshape(T * K, 2 * p * C)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_packed_bwd_kernel(T, N, C, p, nH, D, win, g, scale, has_mod,
+                            shifted, x_dtype):
+    """Packed twin of :func:`_make_bwd_kernel` (see _make_packed_kernel
+    for the layout): recompute per tile in packed lanes, grads emitted in
+    KRON space (dwq/dwo (128,128), dwkv (128,256), bias grads per true
+    head in PERM order) — the host extracts the true (C, ...) grads by
+    summing diagonal blocks / un-permuting."""
+    K = N // p
+    CP = p * C
+    P = g * N
+    f32 = jnp.float32
+
+    def kernel(geom_ref, x_ref, g_ref, mod_ref, wq_ref, bq_ref, wkv_ref,
+               bkv_ref, wo_ref, bo_ref, bias_ref,
+               dx_ref, dwq_ref, dbq_ref, dwkv_ref, dbkv_ref, dwo_ref,
+               dbo_ref, dbias_ref, dmod_ref):
+        H, W, shift, nW_w, nW = (geom_ref[0], geom_ref[1], geom_ref[2],
+                                 geom_ref[3], geom_ref[4])
+        t_id = pl.program_id(0)
+
+        @pl.when(t_id == 0)
+        def _init():
+            for r in (dwq_ref, dbq_ref, dwkv_ref, dbkv_ref, dwo_ref,
+                      dbo_ref, dbias_ref, dmod_ref):
+                r[:] = jnp.zeros(r.shape, r.dtype)
+
+        gt = g_ref[0].reshape(T * K, CP)
+        tok = x_ref[0].reshape(T * K, CP)
+        prec = (jax.lax.Precision.HIGHEST
+                if tok.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        if has_mod:
+            tok = (tok.reshape(T, K, CP)
+                   + mod_ref[:][None].astype(tok.dtype)).reshape(T * K, CP)
+
+        if shifted:
+            base = t_id * T
+            rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
+            widx = base + rows * g + cols // N
+            in_r, in_c = _packed_coords(p, N, cols)
+            w_in_img = widx % nW
+            wi = w_in_img // nW_w
+            wj = w_in_img - wi * nW_w
+            rh = _region_ids(win, shift, H, wi, in_r)
+            rw = _region_ids(win, shift, W, wj, in_c)
+            rid = widx * 9 + rh * 3 + rw
+            smask = ((rid[:, :, None] != rid[:, None, :]).astype(f32)
+                     * jnp.float32(-100.0))
+            smask2d = None
+        elif g > 1:
+            ra = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) // N
+            ca = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1) // N
+            smask2d = (ra != ca).astype(f32) * jnp.float32(-100.0)
+            smask = None
+        else:
+            smask = smask2d = None
+
+        def proj(w_ref, b_ref):
+            y = jax.lax.dot_general(
+                tok, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            return (y + b_ref[0].astype(f32)).astype(tok.dtype)
+
+        qg = proj(wq_ref, bq_ref)        # unscaled, like the unpacked bwd
+        kvg = proj(wkv_ref, bkv_ref)
+        dbo_ref[:] += jnp.sum(gt.astype(f32), axis=0).reshape(1, CP)
+        dog = jax.lax.dot_general(       # g @ wo_k^T -> packed lanes
+            gt.astype(tok.dtype), wo_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec).astype(tok.dtype)
+
+        o_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
+        for h in range(nH):
+            q = _perm_assemble(qg, lambda i, h=h: i * C + h * D,
+                               p, T, K, D, g)
+            k = _perm_assemble(kvg, lambda i, h=h: i * 2 * C + h * D,
+                               p, T, K, D, g)
+            v = _perm_assemble(kvg, lambda i, h=h: i * 2 * C + C + h * D,
+                               p, T, K, D, g)
+            dog_h = _perm_assemble(dog, lambda i, h=h: i * C + h * D,
+                                   p, T, K, D, g)
+            bias_h = bias_ref[h]  # perm order
+            if g > 1:
+                bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                bias_h = jnp.concatenate([bias_h] * g, axis=-2)
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec)
+            if shifted:
+                logits = logits * scale + bias_h[None] + smask
+            elif smask2d is not None:
+                logits = logits * scale + (bias_h + smask2d)[None]
+            else:
+                logits = logits * scale + bias_h[None]
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs_c = probs.astype(tok.dtype)
+            o_heads.append(jax.lax.dot_general(
+                probs_c, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec,
+            ).astype(tok.dtype))
+            dprobs = jax.lax.dot_general(
+                dog_h, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec)
+            dv_heads.append(jax.lax.dot_general(
+                probs_c, dog_h,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec,
+            ).astype(tok.dtype))
+            dlog = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                             keepdims=True))
+            db = jnp.sum(dlog, axis=0)  # (P, P), perm order
+            if g > 1:
+                db = sum(db[a * N:(a + 1) * N, a * N:(a + 1) * N]
+                         for a in range(g))
+            dbias_ref[h] += db
+            dlog_c = (dlog * scale).astype(tok.dtype)
+            dq_heads.append(jax.lax.dot_general(
+                dlog_c, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec,
+            ).astype(tok.dtype))
+            dk_heads.append(jax.lax.dot_general(
+                dlog_c, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=prec,
+            ).astype(tok.dtype))
+
+        o_packed = _perm_disassemble(o_heads, p, T, K, D, nH)
+        dq_packed = _perm_disassemble(dq_heads, p, T, K, D, nH)
+        dkv_packed = _perm_disassemble_kv(dk_heads, dv_heads, p, T, K, D,
+                                          nH)
+        dwo_ref[:] += jax.lax.dot_general(
+            o_packed, gt.astype(tok.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        dwq_ref[:] += jax.lax.dot_general(
+            tok, dq_packed, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        dbq_ref[:] += jnp.sum(dq_packed.astype(f32), axis=0).reshape(1, CP)
+        dwkv_ref[:] += jax.lax.dot_general(
+            tok, dkv_packed, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        dbkv_ref[:] += jnp.sum(dkv_packed.astype(f32),
+                               axis=0).reshape(1, 2 * CP)
+        dtok = jax.lax.dot_general(
+            dq_packed, wq_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        dtok = dtok + jax.lax.dot_general(
+            dkv_packed, wkv_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+        if has_mod:
+            dmod_ref[:] += jnp.sum(dtok.reshape(T, K, CP), axis=0)
+        dx_ref[0] = dtok.reshape(T, K, CP).astype(x_dtype)
+
+    return kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -414,6 +721,109 @@ def _make_bwd_kernel(T, N, C, nH, D, win, g, hg, scale, has_mod, has_ln,
     return kernel
 
 
+def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
+                                      bias, *, win, shift, H, W, scale,
+                                      num_heads, has_mod, interpret,
+                                      vmem_mb):
+    Bw, N, C = x.shape
+    p = 128 // C
+    nH = num_heads
+    D = C // nH
+    K = N // p
+    CP = p * C
+    (xp, mod_p, wq_k, bq_t, wkv_k, bkv_t, wo_k, bo_t, bias_p,
+     inv) = _pack_args(x, mod, wq, bq, wkv, bkv, wo, bo, bias, p, C, N)
+    gp_in = g.reshape(Bw, K, CP)
+
+    T = _pick_tile(Bw, C, x.dtype.itemsize,
+                   budget=(vmem_mb * 2**20 if vmem_mb else
+                           3 * 2**20 if x.dtype.itemsize <= 2 else
+                           2 * 2**20))
+    gpair = max(1, 128 // N)
+    while T % gpair:
+        gpair -= 1
+    kernel = _make_packed_bwd_kernel(T, N, C, p, nH, D, win, gpair,
+                                     float(scale), has_mod, shift > 0,
+                                     x.dtype)
+    if mod_p is None:
+        mod_p = jnp.zeros((K, CP), x.dtype)
+    nW_w = W // win
+    nW = (H // win) * nW_w
+    geom = jnp.asarray([H, W, shift, nW_w, nW], jnp.int32)
+    f32 = jnp.float32
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def const(*shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda t, geom: zeros,
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bw // T,),
+        in_specs=[
+            pl.BlockSpec((1, T, K, CP), lambda t, geom: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, K, CP), lambda t, geom: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vmem,                        # mod
+            vmem, vmem, vmem, vmem,      # wq, bq, wkv, bkv
+            vmem, vmem,                  # wo, bo
+            vmem,                        # bias
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, K, CP), lambda t, geom: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(CP, CP), const(1, CP),          # dwq, dbq (kron space)
+            const(CP, 2 * CP), const(1, 2 * CP),  # dwkv, dbkv
+            const(CP, CP), const(1, CP),          # dwo, dbo
+            const(nH, N, N), const(K, CP),        # dbias (perm), dmod
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Bw, K, CP), x.dtype),
+            jax.ShapeDtypeStruct((CP, CP), f32),
+            jax.ShapeDtypeStruct((1, CP), f32),
+            jax.ShapeDtypeStruct((CP, 2 * CP), f32),
+            jax.ShapeDtypeStruct((1, 2 * CP), f32),
+            jax.ShapeDtypeStruct((CP, CP), f32),
+            jax.ShapeDtypeStruct((1, CP), f32),
+            jax.ShapeDtypeStruct((nH, N, N), f32),
+            jax.ShapeDtypeStruct((K, CP), f32),
+        ],
+        interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=50 * 2**20) if not interpret else None),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * Bw * N * C * (4 * C * p + 2 * N),
+            bytes_accessed=3 * Bw * N * C * x.dtype.itemsize,
+            transcendentals=Bw * nH * N * N,
+        ),
+    )(geom, xp[None], gp_in[None], mod_p, wq_k, bq_t, wkv_k, bkv_t, wo_k,
+      bo_t, bias_p)
+    (dx, dwq_k, dbq_k, dwkv_k, dbkv_k, dwo_k, dbo_k, dbias_p, dmod_p) = outs
+
+    def diag_sum(m, cols):
+        return sum(m[i * C:(i + 1) * C, i * cols:(i + 1) * cols]
+                   for i in range(p))
+
+    dwq = diag_sum(dwq_k, C)
+    dwkv = diag_sum(dwkv_k, 2 * C)
+    dwo = diag_sum(dwo_k, C)
+    dbq = sum(dbq_k[0, i * C:(i + 1) * C] for i in range(p))
+    dbkv = sum(dbkv_k[0, i * 2 * C:(i + 1) * 2 * C] for i in range(p))
+    dbo = sum(dbo_k[0, i * C:(i + 1) * C] for i in range(p))
+    dbias = dbias_p[:, inv][:, :, inv]
+    dmod = dmod_p.reshape(8, 8 // p, p, C).reshape(N, C)
+    dls = jnp.zeros((C,), f32)
+    dlb = jnp.zeros((C,), f32)
+    return (dx[0].reshape(Bw, N, C), dmod, dls, dlb, dwq, dbq, dwkv,
+            dbkv, dwo, dbo, dbias)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "win", "shift", "H", "W", "scale", "num_heads", "has_ln", "has_mod",
     "interpret", "vmem_mb"))
@@ -428,6 +838,11 @@ def fused_attention_block_bwd(x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo,
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
+    if _packed_p(C, has_ln):
+        return _fused_attention_block_bwd_packed(
+            x, g, mod, wq, bq, wkv, bkv, wo, bo, bias, win=win,
+            shift=shift, H=H, W=W, scale=scale, num_heads=nH,
+            has_mod=has_mod, interpret=interpret, vmem_mb=vmem_mb)
     hg = min(nH, max(1, 128 // D))
     while nH % hg:
         hg -= 1
@@ -579,6 +994,100 @@ def fused_attention_block_ad(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
     return f(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias)
 
 
+def _packed_p(C: int, has_ln: bool) -> int:
+    """Packing factor for the windowed kernels: 128//C when the narrow-C
+    pixel-packed variant applies (opt-in via UFORMER_TPU_PACKED_ATTN=1
+    until its Mosaic compile is validated on hardware; LN-folding not
+    supported packed — the model's windowed path LNs outside), else 0."""
+    import os
+
+    return (128 // C
+            if (C < 128 and 128 % C == 0 and C >= 32 and not has_ln
+                and bool(os.environ.get("UFORMER_TPU_PACKED_ATTN")))
+            else 0)
+
+
+def _pack_args(x, mod, wq, bq, wkv, bkv, wo, bo, bias, p, C, N):
+    """Free-view packing of the windowed-attention operands."""
+    import numpy as np
+
+    from uformer_tpu.ops.pallas.attention_image import _perm_indices
+
+    Bw = x.shape[0]
+    K = N // p
+    xp = x.reshape(Bw, K, p * C)
+    eye = jnp.eye(p, dtype=wq.dtype)
+    wq_k = jnp.kron(eye, wq)
+    wkv_k = jnp.kron(eye, wkv)
+    wo_k = jnp.kron(eye, wo)
+    bq_t = jnp.tile(bq, p).reshape(1, p * C)
+    bkv_t = jnp.tile(bkv, p).reshape(1, 2 * p * C)
+    bo_t = jnp.tile(bo, p).reshape(1, p * C)
+    mod_p = (None if mod is None
+             else mod.reshape(8, 8 // p, p * C).reshape(K, p * C))
+    pi = _perm_indices(p)
+    bias_p = jnp.asarray(bias).astype(jnp.float32)[:, pi][:, :, pi]
+    inv = np.argsort(pi)
+    return xp, mod_p, wq_k, bq_t, wkv_k, bkv_t, wo_k, bo_t, bias_p, inv
+
+
+def _fused_attention_block_packed(x, mod, wq, bq, wkv, bkv, wo, bo, bias,
+                                  *, win, shift, H, W, scale, num_heads,
+                                  interpret, vmem_mb):
+    Bw, N, C = x.shape
+    p = 128 // C
+    nH = num_heads
+    D = C // nH
+    K = N // p
+    CP = p * C
+    (xp, mod_p, wq_k, bq_t, wkv_k, bkv_t, wo_k, bo_t, bias_p,
+     _) = _pack_args(x, mod, wq, bq, wkv, bkv, wo, bo, bias, p, C, N)
+
+    T = _pick_tile(Bw, C, x.dtype.itemsize,
+                   budget=vmem_mb * 2**20 if vmem_mb else None)
+    g = max(1, 128 // N)
+    while T % g:
+        g -= 1
+    kernel = _make_packed_kernel(T, N, C, p, nH, D, win, g, float(scale),
+                                 mod is not None, shift > 0, x.dtype)
+    if mod_p is None:
+        mod_p = jnp.zeros((K, CP), x.dtype)
+    nW_w = W // win
+    nW = (H // win) * nW_w
+    geom = jnp.asarray([H, W, shift, nW_w, nW], jnp.int32)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bw // T,),
+        in_specs=[
+            pl.BlockSpec((1, T, K, CP), lambda t, geom: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vmem,                        # mod
+            vmem, vmem, vmem, vmem,      # wq, bq, wkv, bkv
+            vmem, vmem,                  # wo, bo
+            vmem,                        # bias
+        ],
+        out_specs=pl.BlockSpec((1, T, K, CP), lambda t, geom: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, Bw, K, CP), x.dtype),
+        interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=int(max(vmem_mb * 2.5, 50)) * 2**20)
+            if not interpret else None),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bw * N * C * (4 * C * p + 2 * N),
+            bytes_accessed=2 * Bw * N * C * x.dtype.itemsize,
+            transcendentals=Bw * nH * N * N,
+        ),
+    )(geom, xp[None], mod_p, wq_k, bq_t, wkv_k, bkv_t, wo_k, bo_t,
+      bias_p)[0]
+    return out.reshape(Bw, N, C)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "win", "shift", "H", "W", "scale", "num_heads", "has_ln", "interpret",
     "vmem_mb", "head_group"))
@@ -591,6 +1100,11 @@ def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
+    if _packed_p(C, has_ln):
+        return _fused_attention_block_packed(
+            x, mod, wq, bq, wkv, bkv, wo, bo, bias, win=win, shift=shift,
+            H=H, W=W, scale=scale, num_heads=nH, interpret=interpret,
+            vmem_mb=vmem_mb)
     # pre-split weights per head GROUP of hg heads (heads are contiguous
     # lane spans of the projection matrices, so a group slice is a plain
     # reshape): qkv (nG, C, hg*D); wo (nG, hg*D, C). hg must divide nH —
