@@ -826,11 +826,11 @@ def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
 
 @functools.partial(jax.jit, static_argnames=(
     "win", "shift", "H", "W", "scale", "num_heads", "has_ln", "has_mod",
-    "interpret", "vmem_mb"))
+    "interpret", "vmem_mb", "packed"))
 def fused_attention_block_bwd(x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo,
                               bo, bias, *, win, shift, H, W, scale,
                               num_heads, has_ln=True, has_mod=True,
-                              interpret=False, vmem_mb=0):
+                              interpret=False, vmem_mb=0, packed="auto"):
     """VJP of the fused attention block as one Pallas kernel.
 
     Returns (dx, dmod, dln_s, dln_b, dwq, dbq, dwkv, dbkv, dwo, dbo,
@@ -838,7 +838,7 @@ def fused_attention_block_bwd(x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo,
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
-    if _packed_p(C, has_ln):
+    if (packed if packed != "auto" else _packed_p(C, has_ln)):
         return _fused_attention_block_bwd_packed(
             x, g, mod, wq, bq, wkv, bkv, wo, bo, bias, win=win,
             shift=shift, H=H, W=W, scale=scale, num_heads=nH,
@@ -945,7 +945,8 @@ def fused_attention_block_bwd(x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo,
 
 
 @functools.lru_cache(maxsize=None)
-def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret):
+def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret,
+                packed=False):
     """custom_vjp wrapper per static geometry: Pallas forward; fused
     Pallas backward on TPU, reference-jnp VJP elsewhere."""
     kw = dict(win=win, shift=shift, H=H, W=W, scale=scale,
@@ -955,7 +956,8 @@ def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret):
     def f(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias):
         return fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv,
                                      wo, bo, bias, has_ln=has_ln,
-                                     interpret=interpret, **kw)
+                                     interpret=interpret, packed=packed,
+                                     **kw)
 
     def fwd(*args):
         return f(*args), args
@@ -966,7 +968,7 @@ def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret):
             (dx, dmod, dls, dlb, dwq, dbq, dwkv, dbkv, dwo, dbo,
              dbias) = fused_attention_block_bwd(
                 x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias,
-                has_ln=has_ln, has_mod=True, **kw)
+                has_ln=has_ln, has_mod=True, packed=packed, **kw)
             cast = lambda d, v: d.astype(v.dtype)  # noqa: E731
             return (cast(dx, x), cast(dmod, mod), cast(dls, ln_s),
                     cast(dlb, ln_b), cast(dwq, wq), cast(dbq, bq),
@@ -984,8 +986,9 @@ def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret):
 def fused_attention_block_ad(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
                              bias, *, win, shift, H, W, scale, num_heads,
                              has_ln=True, interpret=False):
+    packed = bool(_packed_p(x.shape[-1], has_ln))
     f = _ad_factory(win, shift, H, W, float(scale), num_heads, has_ln,
-                    interpret)
+                    interpret, packed)
     if mod is None:
         mod = jnp.zeros(x.shape[1:], x.dtype)
     if ln_s is None:
@@ -1090,17 +1093,19 @@ def _fused_attention_block_packed(x, mod, wq, bq, wkv, bkv, wo, bo, bias,
 
 @functools.partial(jax.jit, static_argnames=(
     "win", "shift", "H", "W", "scale", "num_heads", "has_ln", "interpret",
-    "vmem_mb", "head_group"))
+    "vmem_mb", "head_group", "packed"))
 def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
                           bias, *, win, shift, H, W, scale, num_heads,
                           has_ln=True, interpret=False, vmem_mb=0,
-                          head_group=0):
+                          head_group=0, packed="auto"):
     """x: (Bw, N, C) pre-LN windows; wq: (C, C); wkv: (C, 2C);
-    returns (Bw, N, C)."""
+    returns (Bw, N, C). `packed` True/False forces the narrow-C
+    pixel-packed variant on/off; "auto" follows UFORMER_TPU_PACKED_ATTN
+    (read at trace time)."""
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
-    if _packed_p(C, has_ln):
+    if (packed if packed != "auto" else _packed_p(C, has_ln)):
         return _fused_attention_block_packed(
             x, mod, wq, bq, wkv, bkv, wo, bo, bias, win=win, shift=shift,
             H=H, W=W, scale=scale, num_heads=nH, interpret=interpret,
