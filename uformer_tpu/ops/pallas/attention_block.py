@@ -838,7 +838,8 @@ def fused_attention_block_bwd(x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo,
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
-    if (packed if packed != "auto" else _packed_p(C, has_ln)):
+    if win == 8 and (packed if packed != "auto"
+                     else _packed_p(C, has_ln)):
         return _fused_attention_block_bwd_packed(
             x, g, mod, wq, bq, wkv, bkv, wo, bo, bias, win=win,
             shift=shift, H=H, W=W, scale=scale, num_heads=nH,
@@ -986,7 +987,7 @@ def _ad_factory(win, shift, H, W, scale, num_heads, has_ln, interpret,
 def fused_attention_block_ad(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
                              bias, *, win, shift, H, W, scale, num_heads,
                              has_ln=True, interpret=False):
-    packed = bool(_packed_p(x.shape[-1], has_ln))
+    packed = win == 8 and bool(_packed_p(x.shape[-1], has_ln))
     f = _ad_factory(win, shift, H, W, float(scale), num_heads, has_ln,
                     interpret, packed)
     if mod is None:
@@ -1105,7 +1106,8 @@ def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
-    if (packed if packed != "auto" else _packed_p(C, has_ln)):
+    if win == 8 and (packed if packed != "auto"
+                     else _packed_p(C, has_ln)):
         return _fused_attention_block_packed(
             x, mod, wq, bq, wkv, bkv, wo, bo, bias, win=win, shift=shift,
             H=H, W=W, scale=scale, num_heads=nH, interpret=interpret,
