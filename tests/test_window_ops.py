@@ -148,3 +148,30 @@ def test_dilated_reverse_matches_fold(d):
                  padding=4 * (d - 1), stride=win)
     ref = ref.permute(0, 2, 3, 1).contiguous().numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_packed_view_glue_identical(p):
+    """The packed-view partition/reverse/shift variants are bytes-identical
+    to the plain ones (the relayouts just run on full-lane views)."""
+    from uformer_tpu.ops.window import (
+        cyclic_shift_packed,
+        cyclic_unshift_packed,
+        window_partition_packed,
+        window_reverse_packed,
+    )
+
+    rng = np.random.default_rng(p)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 32)).astype(np.float32))
+    a = window_partition(x, 8)
+    np.testing.assert_array_equal(np.asarray(a),
+                                  np.asarray(window_partition_packed(x, 8, p)))
+    np.testing.assert_array_equal(
+        np.asarray(window_reverse(a, 8, 16, 24)),
+        np.asarray(window_reverse_packed(a, 8, 16, 24, p)))
+    np.testing.assert_array_equal(
+        np.asarray(cyclic_shift(x, 4)),
+        np.asarray(cyclic_shift_packed(x, 4, p)))
+    np.testing.assert_array_equal(
+        np.asarray(cyclic_unshift(x, 4)),
+        np.asarray(cyclic_unshift_packed(x, 4, p)))

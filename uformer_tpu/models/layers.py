@@ -769,8 +769,23 @@ class LeWinBlock(nn.Module):
             else:
                 ln1 = None
                 x = _norm("norm1", self.dtype)(x)
-            x = cyclic_shift(x, shift)
-            x_windows = window_partition(x, win)  # (B*nW, N, C)
+            # packed-view glue: when the narrow-C packed kernels are
+            # active, run the roll + partition transposes on the
+            # (W/p, p*C) full-lane view (bytes-identical outputs)
+            pk = ((128 // self.dim)
+                  if narrow_ok and fused and win % (128 // self.dim) == 0
+                  else 0)
+            if pk > 1:
+                from uformer_tpu.ops.window import (
+                    cyclic_shift_packed,
+                    window_partition_packed,
+                )
+
+                x = cyclic_shift_packed(x, shift, pk)
+                x_windows = window_partition_packed(x, win, pk)
+            else:
+                x = cyclic_shift(x, shift)
+                x_windows = window_partition(x, win)  # (B*nW, N, C)
 
             attn_out = WindowAttention(
                 dim=self.dim, win_size=(win, win), num_heads=self.num_heads,
@@ -781,8 +796,17 @@ class LeWinBlock(nn.Module):
             )(x_windows, mask=attn_mask, deterministic=deterministic,
               geometry=geometry, modulator=mod, ln_params=ln1)
 
-            x = window_reverse(attn_out, win, H, W)
-            x = cyclic_unshift(x, shift)
+            if pk > 1:
+                from uformer_tpu.ops.window import (
+                    cyclic_unshift_packed,
+                    window_reverse_packed,
+                )
+
+                x = window_reverse_packed(attn_out, win, H, W, pk)
+                x = cyclic_unshift_packed(x, shift, pk)
+            else:
+                x = window_reverse(attn_out, win, H, W)
+                x = cyclic_unshift(x, shift)
 
             x = shortcut + DropPath(self.drop_path, name="drop_path1")(
                 x, deterministic=deterministic)

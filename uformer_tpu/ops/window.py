@@ -87,6 +87,58 @@ def window_reverse(windows: jnp.ndarray, win: int, H: int, W: int,
     return x.reshape(B, H, W, C)
 
 
+def window_partition_packed(x: jnp.ndarray, win: int, p: int) -> jnp.ndarray:
+    """Bytes-identical to :func:`window_partition` but the relayout
+    transpose runs on the (W/p, p*C) packed-column view, so XLA's copy
+    moves full-128-lane tiles instead of lane-padded C-wide ones (narrow
+    C pays ~p x on the (win, C)-minor transpose). Identity holds because
+    (win/p)*p == win makes the packed and true token orders coincide."""
+    B, H, W, C = x.shape
+    W8 = W // win
+    wp8 = win // p
+    xp = x.reshape(B, H, W // p, p * C)
+    y = xp.reshape(B, H // win, win, W8, wp8, p * C)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(-1, win * win, C)
+
+
+def window_reverse_packed(windows: jnp.ndarray, win: int, H: int, W: int,
+                          p: int) -> jnp.ndarray:
+    """Packed-view twin of :func:`window_reverse` (see
+    :func:`window_partition_packed`)."""
+    C = windows.shape[-1]
+    W8 = W // win
+    wp8 = win // p
+    B = windows.shape[0] // ((H // win) * W8)
+    y = windows.reshape(B, H // win, W8, win, wp8, p * C)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, H, W, C)
+
+
+def cyclic_shift_packed(x: jnp.ndarray, shift: int, p: int) -> jnp.ndarray:
+    """Cyclic shift with the W roll on packed columns (requires
+    p | shift): one full-lane roll instead of a lane-padded one."""
+    if shift == 0:
+        return x
+    if shift % p:
+        raise ValueError(f"packed shift requires p | shift, got {shift=} {p=}")
+    B, H, W, C = x.shape
+    xp = x.reshape(B, H, W // p, p * C)
+    xp = jnp.roll(xp, shift=(-shift, -shift // p), axis=(1, 2))
+    return xp.reshape(B, H, W, C)
+
+
+def cyclic_unshift_packed(x: jnp.ndarray, shift: int, p: int) -> jnp.ndarray:
+    if shift == 0:
+        return x
+    if shift % p:
+        raise ValueError(f"packed shift requires p | shift, got {shift=} {p=}")
+    B, H, W, C = x.shape
+    xp = x.reshape(B, H, W // p, p * C)
+    xp = jnp.roll(xp, shift=(shift, shift // p), axis=(1, 2))
+    return xp.reshape(B, H, W, C)
+
+
 def cyclic_shift(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     """Roll H and W by -shift (the SW-MSA pre-shift, reference model.py:957)."""
     if shift == 0:
