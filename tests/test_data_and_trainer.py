@@ -47,6 +47,24 @@ def test_train_dataset_crop_and_pairing(paired_dir):
     assert d.mean() > 0.02 and d.std() < 0.03
 
 
+def test_train_dataset_decode_cache(paired_dir):
+    # cached epochs must produce byte-identical batches to uncached ones
+    ds_c = PairedTrainDataset(str(paired_dir), patch_size=32, cache_mb=64)
+    ds_n = PairedTrainDataset(str(paired_dir), patch_size=32, cache_mb=0)
+    assert ds_c._cache is not None and ds_n._cache is None
+    for _ in batch_iterator(ds_c, 4, seed=0):  # warm the LRU
+        pass
+    assert ds_c._cache_bytes > 0
+    for bc, bn in zip(batch_iterator(ds_c, 4, seed=3),
+                      batch_iterator(ds_n, 4, seed=3)):
+        assert all(np.array_equal(a, b) for a, b in zip(bc, bn))
+    # the budget is a hard cap: a tiny budget evicts instead of growing
+    ds_t = PairedTrainDataset(str(paired_dir), patch_size=32, cache_mb=1)
+    for _ in batch_iterator(ds_t, 4, seed=0):
+        pass
+    assert ds_t._cache_bytes <= ds_t._cache_budget
+
+
 def test_val_dataset_center_crop(paired_dir):
     ds = PairedValDataset(str(paired_dir), center_crop=32)
     gt, noisy, name = ds[0]

@@ -14,6 +14,7 @@ import glob
 import os
 import threading
 import queue as queue_mod
+from collections import OrderedDict
 from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
@@ -52,12 +53,24 @@ class PairedTrainDataset:
     """
 
     def __init__(self, data_dir: str, patch_size: int = 128, seed: int = 1234,
-                 native: object = "auto", decode_threads: int = 8):
+                 native: object = "auto", decode_threads: int = 8,
+                 cache_mb: Optional[int] = None):
         self.gt_files = _list_images(os.path.join(data_dir, "groundtruth"))
         self.in_files = _list_images(os.path.join(data_dir, "input"))
         assert len(self.gt_files) == len(self.in_files) and self.gt_files, \
             f"no paired data under {data_dir}"
         self.ps = patch_size
+        # bounded LRU of decoded images, keyed by path: PNG inflate is
+        # the serial floor of real loading (the C++ plane only fuses
+        # crop+aug+normalize), so epoch 2+ should read RAM, not zlib.
+        # Budget via arg or UFORMER_TPU_DECODE_CACHE_MB (0 disables).
+        if cache_mb is None:
+            cache_mb = int(os.environ.get("UFORMER_TPU_DECODE_CACHE_MB",
+                                          "1024"))
+        self._cache_budget = int(cache_mb) * 2**20
+        self._cache = OrderedDict() if self._cache_budget > 0 else None
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
         self.rng = np.random.default_rng(seed)
         self.decode_threads = decode_threads
         self._decode_pool = None
@@ -72,6 +85,27 @@ class PairedTrainDataset:
         import cv2
 
         return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+
+    def _load_cached(self, path: str) -> np.ndarray:
+        """Decode `path` through the LRU; cached arrays are never
+        mutated downstream (crop/aug always materialize new buffers)."""
+        c = self._cache
+        if c is not None:
+            with self._cache_lock:
+                hit = c.get(path)
+                if hit is not None:
+                    c.move_to_end(path)
+                    return hit
+        img = (self._load_u8 if self.use_native else load_img)(path)
+        if c is not None and img.nbytes <= self._cache_budget:
+            with self._cache_lock:
+                if path not in c:
+                    c[path] = img
+                    self._cache_bytes += img.nbytes
+                    while self._cache_bytes > self._cache_budget:
+                        _, old = c.popitem(last=False)
+                        self._cache_bytes -= old.nbytes
+        return img
 
     def _pool(self):
         # cv2.imread releases the GIL during PNG decode, so a thread pool
@@ -107,8 +141,7 @@ class PairedTrainDataset:
         ps = self.ps
         paths = [self.gt_files[i] for i in indices] + \
             [self.in_files[i] for i in indices]
-        loader = self._load_u8 if self.use_native else load_img
-        imgs = list(self._pool().map(loader, paths))
+        imgs = list(self._pool().map(self._load_cached, paths))
         gts, nys, rows, cols, ks = [], [], [], [], []
         for j in range(len(indices)):
             g, n = imgs[j], imgs[len(indices) + j]
