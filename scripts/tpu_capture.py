@@ -29,16 +29,16 @@ STEPS = [
                "import jax; print(jax.devices())"], 120, True),
     ("bench_infer", [sys.executable, "bench.py", "--mode", "infer"],
      900, True),
-    ("bench_infer_packed_attn",
+    ("bench_infer_unpacked_attn",
      [sys.executable, "bench.py", "--mode", "infer"], 900, True),
     ("kernel_bench", [sys.executable, "scripts/kernel_bench.py"], 1500,
      False),
-    ("kernel_bench_packed_attn",
+    ("kernel_bench_unpacked_attn",
      [sys.executable, "scripts/kernel_bench.py"], 1500, False),
-    ("bench_train_packed_attn",
-     [sys.executable, "bench.py", "--mode", "train"], 1500, False),
     ("bench_train", [sys.executable, "bench.py", "--mode", "train"],
      1500, False),
+    ("bench_train_unpacked_attn",
+     [sys.executable, "bench.py", "--mode", "train"], 1500, False),
     ("bench_aux", [sys.executable, "bench.py", "--mode", "aux"], 1500,
      False),
     ("profile_forward", [sys.executable, "scripts/profile_forward.py"],
@@ -62,8 +62,10 @@ def main():
             continue
         path = os.path.join(OUT, f"{name}.txt")
         env = dict(os.environ)
-        if name.endswith("_packed_attn"):
-            env["UFORMER_TPU_PACKED_ATTN"] = "1"
+        if name.endswith("_unpacked_attn"):
+            # A/B leg: packed narrow-C attention is the default; this
+            # measures the windowed fallback for comparison.
+            env["UFORMER_TPU_PACKED_ATTN"] = "0"
         t0 = time.time()
         try:
             r = subprocess.run(argv, cwd=ROOT, capture_output=True,

@@ -75,10 +75,23 @@ def _packed_coords(p, N, cols):
 
 
 def _perm_assemble(src, base, p, T, K, D, g):
-    """Per-head (T//g, P, D) from packed lanes: slot lane-slices
-    concatenated on sublanes (perm token order a = i*K + j)."""
-    parts = [src[:, base(i):base(i) + D].reshape(T, K, D)
-             for i in range(p)]
+    """Per-head (T//g, P, D) from packed lanes (perm order a = i*K + j).
+
+    Each slot's D-lane span is first rotated to lane offset 0 with a
+    real lane roll: Mosaic implements static lane rotates, but NOT a
+    sublane concatenate of inputs whose lane offsets differ ("result/
+    input offset mismatch on non-concat dimension" — measured on v5e),
+    which is what the naive lane-slice + axis=1 concat lowers to."""
+    L = src.shape[-1]
+    # Mosaic's rotate only handles 32-bit lanes ("Rotate with non-32-bit
+    # data" on bf16) — roll an f32 view and cast back after the slice
+    # (exact round-trip: bf16 -> f32 -> bf16 is value-preserving).
+    src32 = src if src.dtype == jnp.float32 else src.astype(jnp.float32)
+    parts = []
+    for i in range(p):
+        b = base(i)
+        al = src32 if b == 0 else pltpu.roll(src32, (L - b) % L, 1)
+        parts.append(al[:, :D].astype(src.dtype).reshape(T, K, D))
     y = parts[0] if p == 1 else jnp.concatenate(parts, axis=1)
     return y.reshape(T // g, g * p * K, D)
 
@@ -1000,14 +1013,15 @@ def fused_attention_block_ad(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
 
 def _packed_p(C: int, has_ln: bool) -> int:
     """Packing factor for the windowed kernels: 128//C when the narrow-C
-    pixel-packed variant applies (opt-in via UFORMER_TPU_PACKED_ATTN=1
-    until its Mosaic compile is validated on hardware; LN-folding not
-    supported packed — the model's windowed path LNs outside), else 0."""
+    pixel-packed variant applies (default ON — hardware-validated on
+    v5e, 11.4 -> 13.1 MP/s on the Uformer_B forward; opt out with
+    UFORMER_TPU_PACKED_ATTN=0; LN-folding not supported packed — the
+    model's windowed path LNs outside), else 0."""
     import os
 
     return (128 // C
             if (C < 128 and 128 % C == 0 and C >= 32 and not has_ln
-                and bool(os.environ.get("UFORMER_TPU_PACKED_ATTN")))
+                and os.environ.get("UFORMER_TPU_PACKED_ATTN", "1") != "0")
             else 0)
 
 

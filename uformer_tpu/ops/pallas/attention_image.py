@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from uformer_tpu.ops.pallas.attention_block import _region_ids
+from uformer_tpu.ops.pallas.attention_block import _perm_assemble, _region_ids
 
 
 def _winchain(rows8, W, C):
@@ -315,12 +315,11 @@ def _make_packed_kernel(R, H, W, C, p, nH, D, g, scale, shift, has_mod,
         kvg = proj(wkv_ref, bkv_ref)                    # (T*K, 256)
 
         def perm_head(src, base):
-            """Per-head (T//g, P, D) from packed lanes: slot lane-slices
-            concatenated on sublanes (perm order a = i*K + j)."""
-            parts = [src[:, base(i):base(i) + D].reshape(T, K, D)
-                     for i in range(p)]
-            y = parts[0] if p == 1 else jnp.concatenate(parts, axis=1)
-            return y.reshape(T // g, P, D)
+            """Per-head (T//g, P, D) from packed lanes (perm order
+            a = i*K + j) via the lane-roll assembler — see
+            attention_block._perm_assemble for why the naive slice +
+            sublane-concat does not compile under Mosaic."""
+            return _perm_assemble(src, base, p, T, K, D, g)
 
         o_heads = []
         for h in range(nH):
