@@ -153,3 +153,44 @@ def test_fused_leff_bwd_matches_autodiff(shape, hidden, has_ln, residual):
         np.testing.assert_allclose(
             g, w, atol=2e-4 * scale, rtol=2e-4,
             err_msg=f"{name} mismatch (shape {shape}, ln={has_ln})")
+
+
+@pytest.mark.parametrize("shape,hidden", [
+    ((2, 16, 16, 128), 512),   # lane-aligned smallimg
+    ((1, 16, 16, 32), 128),    # packed p=4
+])
+def test_fused_leff_bwd_bf16_taps(shape, hidden):
+    """bf16 activations route the 9-tap accumulations through bf16
+    (weight-grad reductions stay fp32): grads stay within bf16-path
+    error of fp32 autodiff."""
+    from uformer_tpu.ops.pallas.leff import fused_leff_bwd
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = shape
+    mk = lambda *s, sc=0.1: jnp.asarray(  # noqa: E731
+        rng.normal(size=s).astype(np.float32) * sc)
+    x = mk(*shape, sc=0.5)
+    w1, b1 = mk(C, hidden), mk(hidden)
+    wd, bd = mk(3, 3, hidden, sc=0.2), mk(hidden)
+    w2, b2 = mk(hidden, C), mk(C)
+    ln_s, ln_b = 1.0 + mk(C), mk(C)
+    dy = mk(*shape, sc=1.0)
+
+    def loss(x, w1, b1, wd, bd, w2, b2, ln_s, ln_b):
+        y = leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=ln_s,
+                           ln_b=ln_b, residual=True)
+        return jnp.sum(y * dy)
+
+    want = jax.grad(loss, argnums=tuple(range(9)))(
+        x, w1, b1, wd, bd, w2, b2, ln_s, ln_b)
+    cast = lambda v: v.astype(jnp.bfloat16)  # noqa: E731
+    got = fused_leff_bwd(cast(x), cast(dy), cast(w1), b1, cast(wd), bd,
+                         cast(w2), ln_s, ln_b, has_ln=True, residual=True,
+                         interpret=True)
+    names = ["dx", "dw1", "db1", "dwd", "dbd", "dw2", "db2", "dls", "dlb"]
+    for i, name in enumerate(names):
+        w = np.asarray(want[i], np.float32)
+        g = np.asarray(got[i], np.float32)
+        scale = max(np.abs(w).max(), 1.0)
+        err = np.abs(g - w).max() / scale
+        assert err < 0.06, f"{name} rel err {err} (shape {shape})"

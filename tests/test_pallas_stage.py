@@ -67,6 +67,30 @@ def test_basiclayer_megakernel_matches_jnp_backend():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_basiclayer_megakernel_batch_chunking(monkeypatch):
+    """When the whole batch exceeds the VMEM cap the stage runs the
+    megakernel over batch chunks (dec2 at 256² inference) — parity with
+    the unchunked jnp path."""
+    from uformer_tpu.models import layers as L
+
+    kw = dict(dim=128, depth=2, num_heads=4, win_size=8, resolution=16,
+              mlp_ratio=2.0, token_mlp="leff", modulator=True,
+              shift_flag=True)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(4, 16, 16, 128))
+        .astype(np.float32) * 0.2)
+    # one image = 16*16*128*4B = 128 KB; a 0.25 MB chunk cap forces
+    # bc=2 (chunks of two) while a single image still fits
+    monkeypatch.setattr(L, "_MEGA_VMEM_CAP_MB", 0.25)
+    l_jnp = BasicLayer(attn_backend="jnp", **kw)
+    l_meg = BasicLayer(attn_backend="pallas", **kw)
+    params = l_jnp.init(jax.random.PRNGKey(0), x)
+    want = l_jnp.apply(params, x)
+    got = l_meg.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_fused_stage_dw_bf16_variant():
     """dw_bf16 (bf16 tap accumulation, serving knob): close to the fp32
     reference within bf16 accumulation error, and a no-op on f32 inputs."""

@@ -38,6 +38,13 @@ from uformer_tpu.ops import (
 )
 
 LN_EPS = 1e-5
+
+# Stage-megakernel VMEM budgets (module-level so tests can force batch
+# chunking): per-chunk image scratch cap, and the total for scratches +
+# I/O windows together (the ~36 MB of in-kernel f32 temps and weights
+# make up the rest of the 100 MB limit the kernel compiles under).
+_MEGA_VMEM_CAP_MB = 24
+_MEGA_VMEM_TOTAL_MB = 64
 dense_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
@@ -897,6 +904,35 @@ class BasicLayer(nn.Module):
 
         B, H, W, C = x.shape
         itemsize = 2 if self.dtype == jnp.bfloat16 else 4
+        # VMEM budget for the stage megakernel: the (bc, H, W, C) image
+        # scratch, the (H+2, W+2, Ch) LeFF hidden, the per-head combined
+        # bias+mask scratch, and the double-buffered I/O windows must be
+        # co-resident. When the full batch doesn't fit (dec2 at 256²
+        # inference: 8*128²*128 bf16 = 33.5 MB), run the megakernel over
+        # the largest batch CHUNK that does — weights re-DMA once per
+        # chunk (~µs) while the stage keeps its one-read-one-write HBM
+        # profile.
+        cap = _MEGA_VMEM_CAP_MB * 2**20
+        Twin = (H // 8) * (W // 8) if H % 8 == 0 and W % 8 == 0 else 0
+        gpar = 2 if Twin % 2 == 0 else 1
+        sm_it = 2 if self.dtype == jnp.bfloat16 else 4
+        fixed = (self.num_heads * Twin * 4096 * gpar * sm_it   # smask
+                 + (H + 2) * (W + 2) * int(C * self.mlp_ratio) * itemsize
+                 + 4 * H * W * C * itemsize)  # in+out windows, 2-level
+        # Twin <= 64: at T = 256 windows (128² stages) the whole-image
+        # attention temporaries exceed Mosaic's register budget (~84 MB
+        # of spill slots, measured) regardless of batch chunking — those
+        # stages keep the per-block kernels.
+        bc = 0
+        if (0 < Twin <= 64 and H * W * C * itemsize <= cap
+                and fixed + H * W * C * itemsize <= _MEGA_VMEM_TOTAL_MB
+                * 2**20):
+            bc = B
+            while bc > 1 and (
+                    B % bc or bc * H * W * C * itemsize > cap
+                    or fixed + bc * H * W * C * itemsize
+                    > _MEGA_VMEM_TOTAL_MB * 2**20):
+                bc -= 1
         mega = (deterministic and mask is None
                 and resolve_backend(self.attn_backend) == "pallas"
                 and self.token_projection == "linear"
@@ -904,9 +940,7 @@ class BasicLayer(nn.Module):
                 and not self.cross_modulator
                 and win == 8 and reso >= win
                 and C % 128 == 0 and H % 8 == 0 and W % 8 == 0
-                and max(B * H * W * C,
-                        (H + 2) * (W + 2) * int(C * self.mlp_ratio))
-                * itemsize <= 24 * 2**20)
+                and bc > 0)
         if mega:
             from uformer_tpu.ops.pallas.stage import fused_stage_ad
 
@@ -922,12 +956,16 @@ class BasicLayer(nn.Module):
             p = {k: jnp.stack([b[k] for b in blocks]) for k in blocks[0]}
             head_dim = C // self.num_heads
             scale = self.qk_scale or head_dim ** -0.5
-            return fused_stage_ad(
-                x.astype(dt), p, scale=float(scale),
-                num_heads=self.num_heads,
-                use_shift=self.shift_flag and reso > win,
-                has_mod=self.modulator,
-                interpret=jax.default_backend() != "tpu")
+            kw = dict(scale=float(scale), num_heads=self.num_heads,
+                      use_shift=self.shift_flag and reso > win,
+                      has_mod=self.modulator,
+                      interpret=jax.default_backend() != "tpu")
+            if bc == B:
+                return fused_stage_ad(x.astype(dt), p, **kw)
+            xc = x.astype(dt)
+            return jnp.concatenate(
+                [fused_stage_ad(xc[i:i + bc], p, **kw)
+                 for i in range(0, B, bc)], axis=0)
 
         block_cls = LeWinBlock
         if self.use_checkpoint:

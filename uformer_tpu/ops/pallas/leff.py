@@ -29,11 +29,26 @@ rational-polynomial erf (Mosaic lowers neither erf nor erfc).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _tap_dtype(x_dtype):
+    """dtype for the 9-tap depthwise accumulations (forward recompute,
+    dx taps): the activation dtype for bf16 runs — the tap inputs are
+    already bf16, so only the 9-term accumulation order changes (error
+    ~2^-8 relative, below the activations' own quantization) while the
+    VPU drops the per-tap f32 converts — f32 otherwise. Weight-grad
+    REDUCTIONS over H*W stay fp32 regardless. Opt out with
+    UFORMER_TPU_DWCONV_F32=1."""
+    if (x_dtype == jnp.bfloat16
+            and os.environ.get("UFORMER_TPU_DWCONV_F32") != "1"):
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _erf(x):
@@ -293,6 +308,7 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
     zero pad per image)."""
     cheap = out_dtype == jnp.bfloat16
     f32 = jnp.float32
+    acc_dt = _tap_dtype(out_dtype)
     tap, ln_apply, _, _ = _packed_helpers(W, C, Ch, p, has_ln, out_dtype)
 
     def kernel(xm_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
@@ -313,13 +329,14 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
             hid_ref[1:H + 1] = jnp.concatenate([zcol, h, zcol], axis=1)
             hid_ref[H0 + 1:H + 2] = jnp.zeros((H - H0 + 1, W + 2, Ch),
                                               xi.dtype)
-            acc = jnp.zeros((H, W, Ch), f32)
+            acc = jnp.zeros((H, W, Ch), acc_dt)
             for dy in range(3):
                 rows3 = hid_ref[dy:dy + H]
                 for dx in range(3):
-                    acc += tap(rows3, dx).astype(f32) * \
-                        wd_ref[dy, dx, :].astype(f32)
-            acc = _gelu(acc + bd_ref[:].astype(f32), cheap=cheap)
+                    acc += tap(rows3, dx).astype(acc_dt) * \
+                        wd_ref[dy, dx, :].astype(acc_dt)
+            acc = _gelu(acc.astype(f32) + bd_ref[:].astype(f32),
+                        cheap=cheap)
             out = jax.lax.dot_general(
                 acc.astype(xi.dtype).reshape(H * W, Ch), w2_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -408,6 +425,7 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
     to any gradient."""
     cheap = x_dtype == jnp.bfloat16
     f32 = jnp.float32
+    acc_dt = _tap_dtype(x_dtype)
     tap, _, ln_stats, group_mean = _packed_helpers(W, C, Ch, p, has_ln,
                                                    x_dtype)
 
@@ -466,13 +484,13 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
             dye.reshape((Th + 2) * W, C), w2_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=prec)
-        acc = jnp.zeros((Th + 2, W, Ch), f32)
+        acc = jnp.zeros((Th + 2, W, Ch), acc_dt)
         for ddy in range(3):
             rows = a1e_ref[ddy:ddy + Th + 2]
             for ddx in range(3):
-                acc += tap(rows, ddx).astype(f32) * \
-                    wd_ref[ddy, ddx, :].astype(f32)
-        hc = acc + bd_ref[:].astype(f32)
+                acc += tap(rows, ddx).astype(acc_dt) * \
+                    wd_ref[ddy, ddx, :].astype(acc_dt)
+        hc = acc.astype(f32) + bd_ref[:].astype(f32)
         dhc = _dgelu(hc, cheap=cheap) * g2.reshape(Th + 2, W, Ch)
         dhce_ref[:, 1:W + 1, :] = dhc.astype(xm.dtype)
         dhce_ref[:, 0:1, :] = jnp.zeros((Th + 2, 1, Ch), xm.dtype)
@@ -488,19 +506,23 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
                               axis=(0, 1)).reshape(1, C)
         dhc_own = dhc[1:Th + 1]
         dbd_ref[:] += jnp.sum(dhc_own, axis=(0, 1)).reshape(1, Ch)
+        # tap products in acc_dt (inputs are already that dtype); the
+        # HxW reduction itself accumulates fp32
+        dhc_own_t = dhc_own.astype(acc_dt)
         for ddy in range(3):
             rows = a1e_ref[1 + ddy:1 + ddy + Th]
             for ddx in range(3):
-                a1t = tap(rows, ddx).astype(f32)
-                dwd_ref[ddy, ddx, :] += jnp.sum(a1t * dhc_own, axis=(0, 1))
+                a1t = tap(rows, ddx).astype(acc_dt)
+                dwd_ref[ddy, ddx, :] += jnp.sum(
+                    (a1t * dhc_own_t).astype(f32), axis=(0, 1))
 
         # ---- phase 3: da1 -> dh1 -> dw1/db1/dt -> LN backward -> dx
-        da1 = jnp.zeros((Th, W, Ch), f32)
+        da1 = jnp.zeros((Th, W, Ch), acc_dt)
         for ddy in range(3):
             rows = dhce_ref[2 - ddy:2 - ddy + Th]
             for ddx in range(3):
-                da1 += tap(rows, 2 - ddx).astype(f32) * \
-                    wd_ref[ddy, ddx, :].astype(f32)
+                da1 += tap(rows, 2 - ddx).astype(acc_dt) * \
+                    wd_ref[ddy, ddx, :].astype(acc_dt)
         tok_own = xm.reshape(Th * W, C)
         t_own, that, rsig = ln_stats(tok_own, ln_s_ref[:], ln_b_ref[:],
                                      prec)
@@ -545,6 +567,7 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
     constant-index output blocks."""
     cheap = x_dtype == jnp.bfloat16
     f32 = jnp.float32
+    acc_dt = _tap_dtype(x_dtype)
     tap, _, ln_stats, group_mean = _packed_helpers(W, C, Ch, p, has_ln,
                                                    x_dtype)
 
@@ -586,13 +609,13 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
                 dyi.reshape(H * W, C), w2_ref[:],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32, precision=prec)
-            acc = jnp.zeros((H, W, Ch), f32)
+            acc = jnp.zeros((H, W, Ch), acc_dt)
             for ddy in range(3):
                 rows3 = a1e_ref[ddy:ddy + H]
                 for ddx in range(3):
-                    acc += tap(rows3, ddx).astype(f32) * \
-                        wd_ref[ddy, ddx, :].astype(f32)
-            hc = acc + bd_ref[:].astype(f32)
+                    acc += tap(rows3, ddx).astype(acc_dt) * \
+                        wd_ref[ddy, ddx, :].astype(acc_dt)
+            hc = acc.astype(f32) + bd_ref[:].astype(f32)
             dhc = _dgelu(hc, cheap=cheap) * g2.reshape(H, W, Ch)
             dhce_ref[0:1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
             dhce_ref[1:H + 1] = jnp.concatenate(
@@ -607,20 +630,22 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
             db2_ref[:] += jnp.sum(dyi.astype(f32), axis=(0, 1)) \
                 .reshape(1, C)
             dbd_ref[:] += jnp.sum(dhc, axis=(0, 1)).reshape(1, Ch)
+            # tap products in acc_dt; the HxW reduction stays fp32
+            dhc_t = dhc.astype(acc_dt)
             for ddy in range(3):
                 rows3 = a1e_ref[ddy:ddy + H]
                 for ddx in range(3):
-                    a1t = tap(rows3, ddx).astype(f32)
-                    dwd_ref[ddy, ddx, :] += jnp.sum(a1t * dhc,
-                                                    axis=(0, 1))
+                    a1t = tap(rows3, ddx).astype(acc_dt)
+                    dwd_ref[ddy, ddx, :] += jnp.sum(
+                        (a1t * dhc_t).astype(f32), axis=(0, 1))
 
             # phase 3: da1 -> dh1 -> dw1/db1/dt -> LN bwd -> dx
-            da1 = jnp.zeros((H, W, Ch), f32)
+            da1 = jnp.zeros((H, W, Ch), acc_dt)
             for ddy in range(3):
                 rows3 = dhce_ref[2 - ddy:2 - ddy + H]
                 for ddx in range(3):
-                    da1 += tap(rows3, 2 - ddx).astype(f32) * \
-                        wd_ref[ddy, ddx, :].astype(f32)
+                    da1 += tap(rows3, 2 - ddx).astype(acc_dt) * \
+                        wd_ref[ddy, ddx, :].astype(acc_dt)
             dh1 = da1.reshape(H * W, Ch) * _dgelu(h1, cheap=cheap)
             if H != H0:
                 ro = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
@@ -897,7 +922,7 @@ def fused_leff_ad(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None,
                                               "vmem_mb", "smallimg"))
 def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
                residual: bool = False, interpret: bool = False,
-               chunk_target: int = 1, conv_f32: bool = True,
+               chunk_target: int = 1, conv_f32: bool | None = None,
                vmem_mb: int = 0, smallimg: bool = True):
     """x: (B, H, W, C); returns (B, H, W, C). SAME-padded 3x3 depthwise.
     Optional ln_s/ln_b fold a preceding per-token LayerNorm in;
@@ -905,6 +930,8 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
     read and one write of x."""
     B, H, W, C = x.shape
     Ch = w1.shape[1]
+    if conv_f32 is None:
+        conv_f32 = _tap_dtype(x.dtype) == jnp.float32
     has_ln = ln_s is not None
     if ln_s is None:
         ln_s = jnp.ones((C,), jnp.float32)

@@ -118,7 +118,8 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                     if g > 1:
                         bias_h = jnp.concatenate([bias_h] * g, axis=-1)
                         bias_h = jnp.concatenate([bias_h] * g, axis=-2)
-                    smask_ref[h] = bias_h[None] + smask
+                    smask_ref[h] = (bias_h[None] + smask) \
+                        .astype(smask_ref.dtype)
 
         # ---------- attention sub-block: x += Proj(Attn(LN1(x))) ----------
         if parts in ("both", "attn"):
@@ -186,7 +187,7 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                 logits = jax.lax.dot_general(
                     q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32, precision=prec)
-                logits = logits + smask_ref[h]
+                logits = logits + smask_ref[h].astype(f32)
                 if cheap:
                     # bf16 path: skip the max-subtraction reduce — post-LN
                     # logits are bounded far below exp's f32 overflow
@@ -285,7 +286,7 @@ def stage_reference(x, p, *, scale, num_heads, use_shift, has_mod):
     "scale", "num_heads", "use_shift", "has_mod", "interpret", "vmem_mb",
     "parts", "dw_bf16"))
 def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
-                interpret=False, vmem_mb=0, parts="both", dw_bf16=False):
+                interpret=False, vmem_mb=0, parts="both", dw_bf16=None):
     """x: (B, H, W, C); p: dict of per-block-stacked weights:
     ln1_s/ln1_b (n, C), wq (n, C, C), bq (n, C), wk/wv (n, C, C),
     bk/bv (n, C), wo (n, C, C), bo (n, C), bias (n, nH, 64, 64) fp32,
@@ -302,6 +303,9 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         raise ValueError(f"H={H}, W={W} must be multiples of 8")
     if C % 128 and not interpret:
         raise ValueError(f"stage kernel requires C % 128 == 0, got {C}")
+    if dw_bf16 is None:  # policy: bf16 taps for bf16 activations
+        from uformer_tpu.ops.pallas.leff import _tap_dtype
+        dw_bf16 = _tap_dtype(x.dtype) != jnp.float32
     hg = min(nH, max(1, 128 // D))
     while nH % hg:
         hg -= 1
@@ -348,7 +352,11 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         scratch_shapes=[
             pltpu.VMEM((B, H, W, C), x.dtype),
             pltpu.VMEM((H + 2, W + 2, Ch), x.dtype),
-            pltpu.VMEM((nH, T // g, g * 64, g * 64), jnp.float32),
+            # combined bias+mask: bf16 on the bf16 path (logits already
+            # carry 2^-8 input noise; halves the largest scratch at 128²)
+            pltpu.VMEM((nH, T // g, g * 64, g * 64),
+                       x.dtype if x.dtype == jnp.bfloat16
+                       else jnp.float32),
         ],
         interpret=interpret,
         compiler_params=(pltpu.CompilerParams(
