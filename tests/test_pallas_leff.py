@@ -159,10 +159,11 @@ def test_fused_leff_bwd_matches_autodiff(shape, hidden, has_ln, residual):
     ((2, 16, 16, 128), 512),   # lane-aligned smallimg
     ((1, 16, 16, 32), 128),    # packed p=4
 ])
-def test_fused_leff_bwd_bf16_taps(shape, hidden):
-    """bf16 activations route the 9-tap accumulations through bf16
-    (weight-grad reductions stay fp32): grads stay within bf16-path
-    error of fp32 autodiff."""
+def test_fused_leff_bwd_bf16_taps(shape, hidden, monkeypatch):
+    """The opt-in bf16 tap path (UFORMER_TPU_DWCONV_BF16=1; default is
+    f32 taps — bf16 measured slower on v5e): grads stay within bf16-path
+    error of fp32 autodiff, weight-grad reductions stay fp32."""
+    monkeypatch.setenv("UFORMER_TPU_DWCONV_BF16", "1")
     from uformer_tpu.ops.pallas.leff import fused_leff_bwd
 
     rng = np.random.default_rng(7)

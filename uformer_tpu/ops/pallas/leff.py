@@ -39,14 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _tap_dtype(x_dtype):
     """dtype for the 9-tap depthwise accumulations (forward recompute,
-    dx taps): the activation dtype for bf16 runs — the tap inputs are
-    already bf16, so only the 9-term accumulation order changes (error
-    ~2^-8 relative, below the activations' own quantization) while the
-    VPU drops the per-tap f32 converts — f32 otherwise. Weight-grad
-    REDUCTIONS over H*W stay fp32 regardless. Opt out with
-    UFORMER_TPU_DWCONV_F32=1."""
+    dx taps): fp32 by default. bf16 tap accumulation (opt-in with
+    UFORMER_TPU_DWCONV_BF16=1) MEASURED SLOWER on v5e — the whole-model
+    A/B at 256²/bs8 read 47.0 ms (bf16 taps) vs 38.5 ms (f32 taps): the
+    VPU emulates bf16 mul/add via f32 with pack/unpack passes, so
+    "dropping the converts" actually adds them. Weight-grad REDUCTIONS
+    over H*W stay fp32 regardless."""
     if (x_dtype == jnp.bfloat16
-            and os.environ.get("UFORMER_TPU_DWCONV_F32") != "1"):
+            and os.environ.get("UFORMER_TPU_DWCONV_BF16") == "1"):
         return jnp.bfloat16
     return jnp.float32
 

@@ -303,7 +303,7 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         raise ValueError(f"H={H}, W={W} must be multiples of 8")
     if C % 128 and not interpret:
         raise ValueError(f"stage kernel requires C % 128 == 0, got {C}")
-    if dw_bf16 is None:  # policy: bf16 taps for bf16 activations
+    if dw_bf16 is None:  # policy: f32 taps unless explicitly opted in
         from uformer_tpu.ops.pallas.leff import _tap_dtype
         dw_bf16 = _tap_dtype(x.dtype) != jnp.float32
     hg = min(nH, max(1, 128 // D))
