@@ -159,11 +159,12 @@ def test_fused_leff_bwd_matches_autodiff(shape, hidden, has_ln, residual):
     ((2, 16, 16, 128), 512),   # lane-aligned smallimg
     ((1, 16, 16, 32), 128),    # packed p=4
 ])
-def test_fused_leff_bwd_bf16_taps(shape, hidden, monkeypatch):
-    """The opt-in bf16 tap path (UFORMER_TPU_DWCONV_BF16=1; default is
-    f32 taps — bf16 measured slower on v5e): grads stay within bf16-path
-    error of fp32 autodiff, weight-grad reductions stay fp32."""
-    monkeypatch.setenv("UFORMER_TPU_DWCONV_BF16", "1")
+def test_fused_leff_bwd_bf16_taps(shape, hidden):
+    """The opt-in bf16 tap path (conv_f32=False; the default f32 taps —
+    bf16 measured slower on v5e — can also be flipped for a whole run
+    via UFORMER_TPU_DWCONV_BF16=1, resolved at import): grads stay
+    within bf16-path error of fp32 autodiff, weight-grad reductions
+    stay fp32."""
     from uformer_tpu.ops.pallas.leff import fused_leff_bwd
 
     rng = np.random.default_rng(7)
@@ -187,7 +188,7 @@ def test_fused_leff_bwd_bf16_taps(shape, hidden, monkeypatch):
     cast = lambda v: v.astype(jnp.bfloat16)  # noqa: E731
     got = fused_leff_bwd(cast(x), cast(dy), cast(w1), b1, cast(wd), bd,
                          cast(w2), ln_s, ln_b, has_ln=True, residual=True,
-                         interpret=True)
+                         interpret=True, conv_f32=False)
     names = ["dx", "dw1", "db1", "dwd", "dbd", "dw2", "db2", "dls", "dlb"]
     for i, name in enumerate(names):
         w = np.asarray(want[i], np.float32)

@@ -37,16 +37,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Resolved ONCE at import: this knob feeds trace-time kernel construction
+# inside jit-ed functions and is not part of any jit cache key — reading
+# it per-trace would silently return stale kernels after an env flip.
+_DWCONV_BF16 = os.environ.get("UFORMER_TPU_DWCONV_BF16") == "1"
+
+
 def _tap_dtype(x_dtype):
     """dtype for the 9-tap depthwise accumulations (forward recompute,
     dx taps): fp32 by default. bf16 tap accumulation (opt-in with
-    UFORMER_TPU_DWCONV_BF16=1) MEASURED SLOWER on v5e — the whole-model
-    A/B at 256²/bs8 read 47.0 ms (bf16 taps) vs 38.5 ms (f32 taps): the
-    VPU emulates bf16 mul/add via f32 with pack/unpack passes, so
-    "dropping the converts" actually adds them. Weight-grad REDUCTIONS
-    over H*W stay fp32 regardless."""
-    if (x_dtype == jnp.bfloat16
-            and os.environ.get("UFORMER_TPU_DWCONV_BF16") == "1"):
+    UFORMER_TPU_DWCONV_BF16=1, read at import) MEASURED SLOWER on v5e —
+    the whole-model A/B at 256²/bs8 read 47.0 ms (bf16 taps) vs 38.5 ms
+    (f32 taps): the VPU emulates bf16 mul/add via f32 with pack/unpack
+    passes, so "dropping the converts" actually adds them. Weight-grad
+    REDUCTIONS over H*W stay fp32 regardless."""
+    if x_dtype == jnp.bfloat16 and _DWCONV_BF16:
         return jnp.bfloat16
     return jnp.float32
 
@@ -299,7 +304,7 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
 
 
 def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
-                          p):
+                          p, conv_f32=None):
     """Whole-image batch-tiled forward: Bt small images per grid step (an
     unrolled in-kernel loop sharing one hidden scratch). At 8²-64² stage
     geometries the row-tiled kernel degenerates to one tiny tile per step
@@ -308,7 +313,8 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
     zero pad per image)."""
     cheap = out_dtype == jnp.bfloat16
     f32 = jnp.float32
-    acc_dt = _tap_dtype(out_dtype)
+    acc_dt = (_tap_dtype(out_dtype) if conv_f32 is None
+              else (f32 if conv_f32 else out_dtype))
     tap, ln_apply, _, _ = _packed_helpers(W, C, Ch, p, has_ln, out_dtype)
 
     def kernel(xm_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
@@ -408,7 +414,7 @@ def leff_reference(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None,
 
 
 def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
-                     p):
+                     p, conv_f32=None):
     """Fused LeFF backward: recompute the forward intermediates on
     VMEM-resident tiles (flash-style) and emit dx plus all weight grads in
     one pass. Covers the VJP of :func:`leff_reference` exactly.
@@ -425,7 +431,8 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
     to any gradient."""
     cheap = x_dtype == jnp.bfloat16
     f32 = jnp.float32
-    acc_dt = _tap_dtype(x_dtype)
+    acc_dt = (_tap_dtype(x_dtype) if conv_f32 is None
+              else (f32 if conv_f32 else x_dtype))
     tap, _, ln_stats, group_mean = _packed_helpers(W, C, Ch, p, has_ln,
                                                    x_dtype)
 
@@ -561,13 +568,14 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
 
 
 def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
-                              x_dtype, p):
+                              x_dtype, p, conv_f32=None):
     """Whole-image batch-tiled backward: Bt images per grid step, no halo
     logic (ring zeros per image), fp32 weight-grad accumulators in
     constant-index output blocks."""
     cheap = x_dtype == jnp.bfloat16
     f32 = jnp.float32
-    acc_dt = _tap_dtype(x_dtype)
+    acc_dt = (_tap_dtype(x_dtype) if conv_f32 is None
+              else (f32 if conv_f32 else x_dtype))
     tap, _, ln_stats, group_mean = _packed_helpers(W, C, Ch, p, has_ln,
                                                    x_dtype)
 
@@ -678,16 +686,17 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
 
 @functools.partial(jax.jit, static_argnames=("has_ln", "residual",
                                              "interpret", "vmem_mb",
-                                             "smallimg"))
+                                             "smallimg", "conv_f32"))
 def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
                    has_ln: bool = True, residual: bool = False,
                    interpret: bool = False, vmem_mb: int = 0,
-                   smallimg: bool = True):
+                   smallimg: bool = True, conv_f32: bool | None = None):
     """VJP of the fused LeFF pipeline as ONE Pallas kernel.
 
     Returns (dx, dw1, db1, dwd, dbd, dw2, db2, dln_s, dln_b); weight
     grads in fp32. Same pixel-packing and H-padding rules as
-    :func:`fused_leff`."""
+    :func:`fused_leff`. `conv_f32` pins the tap-accumulation dtype (None
+    = the import-time default)."""
     B, H, W, C = x.shape
     Ch = w1.shape[1]
 
@@ -722,7 +731,8 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
                        scratch_mb=2) if smallimg else 0)
     if bt:
         kernel = _make_smallimg_bwd_kernel(bt, H0, H, W, C, Ch, has_ln,
-                                           residual, x.dtype, p)
+                                           residual, x.dtype, p,
+                                           conv_f32=conv_f32)
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
         def btile():
@@ -782,7 +792,7 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
     nB8 = H // 8
     k8 = Th // 8
     kernel = _make_bwd_kernel(Th, H0, H, W, C, Ch, nT, has_ln, residual,
-                              x.dtype, p)
+                              x.dtype, p, conv_f32=conv_f32)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     tile = lambda: pl.BlockSpec((1, Th, W, C), lambda b, t: (b, t, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
