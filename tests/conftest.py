@@ -22,3 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 assert jax.device_count() == 8, jax.devices()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy tests (Pallas-interpret kernels at shipped scale, "
+        "flagship golden parity, multi-process runs). Core tier: "
+        "pytest -m 'not slow' (< 5 min); nightly runs everything.")

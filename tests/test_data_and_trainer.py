@@ -125,6 +125,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert p["params"]["layer"]["bias"].shape == (4,)
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path, paired_dir):
     """Two epochs of real training through the Trainer on the CPU mesh:
     loss logged, best/latest checkpoints written, resume works."""
@@ -154,6 +155,7 @@ def test_trainer_end_to_end(tmp_path, paired_dir):
     assert int(state2.step) > int(state.step) - 100  # continued
 
 
+@pytest.mark.slow
 def test_resume_restores_step_mixup_and_lr(tmp_path, paired_dir):
     """Resume must restore TrainState.step so the mixup gate (epoch>5,
     reference train_denoise.py:178-179) stays enabled and the logged LR
@@ -205,6 +207,7 @@ def test_resume_restores_step_mixup_and_lr(tmp_path, paired_dir):
     assert abs(float(loss_mix) - float(loss_plain)) > 1e-6
 
 
+@pytest.mark.slow
 def test_validate_pads_arbitrary_image_sizes(tmp_path, paired_dir):
     """Trainer.validate must accept val images that are not a multiple of
     win_size*16 (pads then unpads, like the reference test scripts)."""

@@ -281,3 +281,58 @@ def test_tiled_inference_batched_chunks():
     # every dispatch is the same compiled shape, batch = tile_batch
     # (flattened over tile positions x images)
     assert len(set(calls)) == 1 and calls[0][0] == 3
+
+
+@pytest.mark.slow
+def test_sidd_eval_end_to_end_with_real_model(tmp_path):
+    """Full SIDD protocol through `run_sidd_eval` with the REAL Uformer_B
+    (seeded golden weights, 128² blocks): restorer batching, submission
+    .mat, scoring, psnr_ssim.txt. The released-checkpoint parity run
+    itself needs artifacts this environment cannot fetch (BASELINE.md)
+    — this pins the full protocol around the model so only the weight
+    file differs when someone runs scripts/test_sidd.py for real.
+    (VERDICT round 3 item 6.)"""
+    import json
+
+    import scipy.io as sio
+    import jax
+    import jax.numpy as jnp
+
+    from tests.golden.generate import UFORMER_B, seeded_state_dict
+    from tests.test_golden_parity import GOLDEN_DIR, _build
+    from uformer_tpu.convert import convert_uformer
+    from uformer_tpu.eval.sidd import run_sidd_eval, score_sidd
+
+    data = np.load(os.path.join(GOLDEN_DIR, "uformer_b_128.npz"))
+    sd = seeded_state_dict(json.loads(str(data["sd_manifest"])),
+                           int(data["seed"]))
+    model = _build(UFORMER_B)
+    params = jax.tree_util.tree_map(jnp.asarray, convert_uformer(sd))
+    fwd = jax.jit(lambda x: jnp.clip(model.apply(params, x), 0.0, 1.0))
+
+    rng = np.random.default_rng(7)
+    gt = rng.uniform(0, 1, (2, 2, 128, 128, 3)).astype(np.float32)
+    noisy = np.clip(gt + 0.08 * rng.normal(size=gt.shape), 0, 1)
+    sio.savemat(tmp_path / "ValidationNoisyBlocksSrgb.mat",
+                {"ValidationNoisyBlocksSrgb": np.uint8(noisy * 255 + .5)})
+    sio.savemat(tmp_path / "ValidationGtBlocksSrgb.mat",
+                {"ValidationGtBlocksSrgb": np.uint8(gt * 255 + .5)})
+
+    res = run_sidd_eval(lambda x: fwd(jnp.asarray(x)),
+                        str(tmp_path), str(tmp_path / "out"))
+    assert res is not None
+    psnr, ssim = res
+    assert np.isfinite(psnr) and 0 < ssim <= 1
+    assert os.path.exists(tmp_path / "out" / "psnr_ssim.txt")
+
+    sub = sio.loadmat(tmp_path / "out" / "Idenoised.mat")["Idenoised"]
+    assert sub.shape == noisy.shape and sub.dtype == np.float32
+    # submission blocks must be exactly clip(model(noisy)) on the
+    # uint8-quantized inputs the protocol loads
+    n0 = np.float32(np.uint8(noisy * 255 + .5)) / 255.0
+    want = np.asarray(fwd(jnp.asarray(n0[0])))
+    np.testing.assert_allclose(sub[0], want, atol=2e-5)
+    # and the returned score is the official scorer over those blocks
+    g0 = np.float32(np.uint8(gt * 255 + .5)) / 255.0
+    p2, s2 = score_sidd(sub, g0)
+    assert psnr == pytest.approx(p2) and ssim == pytest.approx(s2)

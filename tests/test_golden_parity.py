@@ -57,6 +57,7 @@ def _to_nhwc(a):
     return a.transpose(0, 2, 3, 1)
 
 
+@pytest.mark.slow
 def test_flagship_stage_by_stage():
     x, y, acts, sd = _load("uformer_flagship")
     model = _build(FLAGSHIP)
@@ -75,6 +76,7 @@ def test_flagship_stage_by_stage():
         np.asarray(yj).transpose(0, 3, 1, 2), y, atol=TOL, rtol=0)
 
 
+@pytest.mark.slow
 def test_convproj_crossmod_output():
     x, y, acts, sd = _load("uformer_convproj_crossmod")
     model = _build(CONVPROJ)
@@ -85,6 +87,7 @@ def test_convproj_crossmod_output():
         np.asarray(yj).transpose(0, 3, 1, 2), y, atol=TOL, rtol=0)
 
 
+@pytest.mark.slow
 def test_uformer_b_flagship_scale():
     """Parity at the SHIPPED scale (embed_dim 32, B-depths, 128²) without
     torch: weights regenerate from the committed seed + manifest, so only

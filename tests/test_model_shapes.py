@@ -16,6 +16,7 @@ def tiny_uformer(**kw):
     return Uformer(**cfg)
 
 
+@pytest.mark.slow
 def test_uformer_forward_shape_and_residual():
     model = tiny_uformer()
     x = jnp.zeros((1, 32, 32, 3))
@@ -29,6 +30,7 @@ def test_uformer_forward_shape_and_residual():
     assert not np.allclose(np.asarray(y2), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_uformer_nonsquare_input():
     # NHWC core removes the reference's square-input restriction
     model = tiny_uformer()
@@ -55,6 +57,7 @@ def test_uformer_dd_in_4ch():
     assert y.shape == (1, 32, 32, 3)  # no global residual for dd_in != 3
 
 
+@pytest.mark.slow
 def test_uformer_train_mode_droppath_rng():
     model = tiny_uformer(drop_path_rate=0.5)
     x = jnp.ones((2, 32, 32, 3))
@@ -66,6 +69,7 @@ def test_uformer_train_mode_droppath_rng():
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_uformer_grads_finite():
     model = tiny_uformer()
     x = jnp.ones((1, 32, 32, 3)) * 0.3
@@ -131,6 +135,7 @@ def test_cross_modulator_variant():
     assert y.shape == x.shape
 
 
+@pytest.mark.slow
 def test_dropout_branches_train_mode():
     """drop_rate/attn_drop > 0 exercise the unfused dropout paths (the
     reference's default archs use 0.0; the flags still must work)."""
@@ -149,6 +154,7 @@ def test_dropout_branches_train_mode():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_gradients_through_dropout_branches():
     model = tiny_uformer(drop_rate=0.1, attn_drop_rate=0.1)
     x = jnp.ones((1, 32, 32, 3)) * 0.3
@@ -164,6 +170,7 @@ def test_gradients_through_dropout_branches():
                for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_cast_weights_inference_parity():
     """Pre-cast bf16 serving weights are semantics-preserving: flax casts
     params to the module dtype at apply time anyway, so casting >=2-D

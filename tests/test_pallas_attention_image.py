@@ -69,6 +69,7 @@ def test_image_block_gradient_matches_reference():
                                    atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_uformer_image_path_matches_jnp_backend():
     """Full tiny Uformer: pallas backend (image kernels on lane-aligned
     stages, incl. SW-MSA blocks at 16x16) vs jnp backend, same params."""

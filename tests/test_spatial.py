@@ -18,6 +18,7 @@ from uformer_tpu.parallel.spatial import (
 from uformer_tpu.utils import init_params_fast
 
 
+@pytest.mark.slow
 def test_sharded_lewin_block_matches_unsharded():
     H, W, C, win, shift, nH = 64, 16, 16, 8, 4, 2
     mesh = make_mesh()  # 8 devices on 'data'
@@ -33,6 +34,7 @@ def test_sharded_lewin_block_matches_unsharded():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_lewin_block_noshift():
     H, W, C, win, nH = 64, 16, 8, 8, 1
     mesh = make_mesh()
@@ -68,6 +70,7 @@ def _full_model_case(n_devices: int, img_size: int, depths):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_full_model_matches_unsharded_4dev():
     # levels 32,16,8,4,2 over 4 shards: per-shard rows 8,4,2,1,- ->
     # levels 0-2 sharded, levels 3-4 replicated: the gather happens
@@ -75,11 +78,13 @@ def test_sharded_full_model_matches_unsharded_4dev():
     _full_model_case(4, 32, (2, 2, 1, 1, 1, 1, 1, 2, 2))
 
 
+@pytest.mark.slow
 def test_sharded_full_model_matches_unsharded_8dev():
     # 8 shards: per-shard rows 4,2,1 -> levels 0-1 sharded, 2-4 replicated
     _full_model_case(8, 32, (2, 1, 1, 1, 1, 1, 1, 1, 2))
 
 
+@pytest.mark.slow
 def test_sharded_full_model_pad_and_batch():
     """Arbitrary H (internal pad) + batch of 2 (vmapped shard_map body)
     — VERDICT round 2, item 8. Contract: equals the unsharded forward on
@@ -109,3 +114,41 @@ def test_tiled_inference_sharded_identity():
     out = tiled_inference_sharded(lambda x: x, img, mesh, tile=64,
                                   overlap=16, factor=32)
     np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_sharded_lewin_block_pallas_backend():
+    """The H-sharded block through the FUSED Pallas kernels (interpret on
+    CPU): windowed attention with the shard's global window offset
+    (w_off) driving the inline SW-MSA mask, fused LeFF on the halo'd slab
+    with the global-edge row fix. Parity vs the unsharded LeWinBlock.
+    (VERDICT round 3 item 5.)"""
+    H, W, C, win, shift, nH = 32, 16, 16, 8, 4, 2
+    mesh = make_mesh(jax.devices()[:4])
+    blk = LeWinBlock(dim=C, num_heads=nH, win_size=win, shift_size=shift,
+                     modulator=True, attn_backend="jnp")
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32)) * 0.5
+    params = init_params_fast(blk, img[None])
+
+    want = np.asarray(blk.apply(params, img[None])[0])
+    got = np.asarray(run_lewin_block_spatially_sharded(
+        params["params"], img, mesh, win=win, shift=shift, num_heads=nH,
+        backend="pallas"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_sharded_lewin_block_pallas_noshift_edges():
+    """No-shift variant: exercises the fused-LeFF edge-row fix on both
+    global edges without the attention mask in play."""
+    H, W, C, win, nH = 32, 8, 8, 8, 1
+    mesh = make_mesh(jax.devices()[:4])
+    blk = LeWinBlock(dim=C, num_heads=nH, win_size=win, shift_size=0,
+                     modulator=False, attn_backend="jnp")
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32)) * 0.5
+    params = init_params_fast(blk, img[None])
+    want = np.asarray(blk.apply(params, img[None])[0])
+    got = np.asarray(run_lewin_block_spatially_sharded(
+        params["params"], img, mesh, win=win, shift=0, num_heads=nH,
+        backend="pallas"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)

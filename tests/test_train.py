@@ -114,6 +114,7 @@ def _make_state_and_step(model, spe=4):
     return state, jax.jit(step)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     model = tiny_model()
     state, step = _make_state_and_step(model)
@@ -138,6 +139,7 @@ def test_eval_step_clamps():
     assert np.asarray(y).max() <= 1.0 and np.asarray(y).min() >= 0.0
 
 
+@pytest.mark.slow
 def test_train_step_sharded_matches_single_device():
     """DP over the 8-device CPU mesh must be numerically identical to
     single-device execution (no mixup, deterministic rng)."""
@@ -166,6 +168,7 @@ def test_train_step_sharded_matches_single_device():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

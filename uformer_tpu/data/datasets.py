@@ -258,15 +258,23 @@ def get_test_data(data_dir: str):
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    drop_last: bool = True, seed: int = 0,
-                   num_threads: int = 4) -> Iterator[dict]:
+                   num_threads: int = 4,
+                   local_range: Optional[Tuple[int, int]] = None,
+                   ) -> Iterator[dict]:
     """Yield {'target','input'} NHWC float32 batches, loading samples with a
-    thread pool (reference uses 4 torch workers, train_denoise.py:128)."""
+    thread pool (reference uses 4 torch workers, train_denoise.py:128).
+
+    `local_range=(start, size)`: multi-host data plane — every host draws
+    the SAME global shuffle (seeded), but this process loads only rows
+    [start, start+size) of each global batch (its shard under the batch
+    sharding; see parallel.multihost.local_batch_range)."""
     from concurrent.futures import ThreadPoolExecutor
 
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    r0, rsz = local_range if local_range is not None else (0, batch_size)
     # datasets with a batched path thread their own decode and draw
     # crop/aug RNG serially — pool-mapping __getitem__ would make the
     # augmentation depend on thread interleaving
@@ -275,7 +283,7 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             idx = order[i0:i0 + batch_size]
             if len(idx) < batch_size and drop_last:
                 return
-            gt, noisy = dataset.get_batch(idx)
+            gt, noisy = dataset.get_batch(idx[r0:r0 + rsz])
             yield {"target": gt, "input": noisy}
         return
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
@@ -283,25 +291,39 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             idx = order[i0:i0 + batch_size]
             if len(idx) < batch_size and drop_last:
                 return
-            samples = list(pool.map(dataset.__getitem__, idx))
+            samples = list(pool.map(dataset.__getitem__, idx[r0:r0 + rsz]))
             gt = np.stack([s[0] for s in samples])
             noisy = np.stack([s[1] for s in samples])
             yield {"target": gt, "input": noisy}
 
 
 def prefetch_to_device(it: Iterator[dict], size: int = 2,
-                       sharding=None) -> Iterator[dict]:
+                       sharding=None,
+                       global_batch: Optional[int] = None) -> Iterator[dict]:
     """Double-buffered host->device prefetch: the next batch transfers
-    while the current one computes (replaces torch pin_memory+workers)."""
+    while the current one computes (replaces torch pin_memory+workers).
+
+    `global_batch`: multi-host mode — each incoming batch holds only this
+    process's rows; assemble the cross-host global array from them
+    (requires `sharding`)."""
     import jax
 
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     stop = object()
+    multihost = global_batch is not None and jax.process_count() > 1
 
     def producer():
         try:
             for batch in it:
-                if sharding is not None:
+                if multihost:
+                    from uformer_tpu.parallel.multihost import (
+                        make_global_batch,
+                    )
+
+                    sh = (sharding if not isinstance(sharding, dict)
+                          else next(iter(sharding.values())))
+                    batch = make_global_batch(batch, sh, global_batch)
+                elif sharding is not None:
                     batch = jax.device_put(batch, sharding)
                 else:
                     batch = jax.device_put(batch)

@@ -69,12 +69,19 @@ class Trainer:
                               data=data, model=opt.mesh_model)
         self.log_dir = os.path.join(opt.save_dir, opt.mode, opt.arch + opt.env)
         self.model_dir = os.path.join(self.log_dir, "models")
-        os.makedirs(self.model_dir, exist_ok=True)
+        # multi-host: one process writes logs/checkpoints (reference is
+        # single-process DataParallel, train_denoise.py:83 — the log/save
+        # protocol stays one writer)
+        self.is_main = jax.process_index() == 0
+        if self.is_main:
+            os.makedirs(self.model_dir, exist_ok=True)
         ts = datetime.datetime.now().isoformat()
         self.logname = os.path.join(self.log_dir, ts + ".txt")
         self.log(str(opt))
 
     def log(self, msg: str):
+        if not self.is_main:
+            return
         print(msg)
         with open(self.logname, "a") as f:
             f.write(msg + "\n")
@@ -160,8 +167,18 @@ class Trainer:
 
         factor = self.opt.win_size * 16
         total, count = 0.0, 0
+        multihost = jax.process_count() > 1
+        if multihost:
+            from uformer_tpu.parallel import replicated_sharding
+
+            rep = replicated_sharding(self.mesh)
         for batch in val_batches:
             inp, orig_hw = pad_to_multiple(batch["input"], factor)
+            if multihost:
+                # every host has the full val set; a fully-replicated
+                # global array keeps eval one SPMD program
+                inp = jax.make_array_from_process_local_data(
+                    rep, np.asarray(inp))
             restored = unpad(self.eval_step(state.params, inp), orig_hw)
             total += float(batch_psnr(np.asarray(restored),
                                       np.asarray(batch["target"]),
@@ -186,6 +203,19 @@ class Trainer:
         state = self.init_state(resume=opt.resume)
         bs = batch_sharding(self.mesh)
         shardings = {"input": bs, "target": bs}
+        # multi-host data plane: this process loads only its rows of each
+        # global batch (same seeded shuffle everywhere), and the prefetch
+        # assembles the cross-host global array
+        n_proc = jax.process_count()
+        local_range = None
+        global_bs = None
+        if n_proc > 1:
+            from uformer_tpu.parallel.multihost import local_batch_range
+
+            local_range = local_batch_range(bs, opt.batch_size)
+            global_bs = opt.batch_size
+            self.log(f"multi-host: {n_proc} processes, local batch rows "
+                     f"[{local_range[0]}, {local_range[0] + local_range[1]})")
         eval_now = max(steps_per_epoch // 4, 1)
         best_psnr, best_epoch, best_iter = 0.0, 0, 0
         rng = jax.random.PRNGKey(opt.seed)
@@ -206,9 +236,11 @@ class Trainer:
                 epoch_loss = jnp.zeros((), jnp.float32)
                 it = batch_iterator(train_dataset, opt.batch_size,
                                     shuffle=True, seed=opt.seed + epoch,
-                                    num_threads=opt.workers)
+                                    num_threads=opt.workers,
+                                    local_range=local_range)
                 for i, batch in enumerate(
-                        prefetch_to_device(it, sharding=shardings)):
+                        prefetch_to_device(it, sharding=shardings,
+                                           global_batch=global_bs)):
                     rng, step_rng = jax.random.split(rng)
                     state, loss = self.train_step(state, batch, step_rng)
                     epoch_loss = epoch_loss + loss
@@ -217,10 +249,8 @@ class Trainer:
                         psnr = self.validate(state, val_batches())
                         if psnr > best_psnr:
                             best_psnr, best_epoch, best_iter = psnr, epoch, i
-                            save_checkpoint(self.model_dir, "model_best",
-                                            epoch, state.params,
-                                            state.opt_state,
-                                            step=int(state.step))
+                            self._save("model_best", epoch, state,
+                                       async_save=True)
                         self.log(
                             "[Ep %d it %d\t PSNR %s: %.4f\t] ----  "
                             "[best_Ep %d best_it %d Best_PSNR %.4f] " % (
@@ -233,12 +263,28 @@ class Trainer:
                 self.log("Epoch: {}\tTime: {:.4f}\tLoss: {:.4f}\t"
                          "LearningRate {:.6f}".format(
                              epoch, time.time() - t0, float(epoch_loss), lr))
-                save_checkpoint(self.model_dir, "model_latest", epoch,
-                                state.params, state.opt_state,
-                                step=int(state.step))
+                self._save("model_latest", epoch, state, async_save=True)
                 if epoch % opt.checkpoint == 0:
-                    save_checkpoint(self.model_dir, f"model_epoch_{epoch}",
-                                    epoch, state.params, state.opt_state,
-                                    step=int(state.step))
+                    self._save(f"model_epoch_{epoch}", epoch, state)
+        from uformer_tpu.train.checkpoints import wait_for_saves
+
+        wait_for_saves()
         self.log("Now time is : " + datetime.datetime.now().isoformat())
         return state, best_psnr
+
+    def _save(self, name: str, epoch: int, state: TrainState,
+              async_save: bool = False):
+        """best/latest saves are async (the step loop resumes after the
+        D2H copy); epoch-N/final stay sync. Multi-host: allgather to host
+        numpy on every process (a collective), write on process 0."""
+        params, opt_state = state.params, state.opt_state
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            params, opt_state = multihost_utils.process_allgather(
+                (params, opt_state))
+            async_save = False
+            if not self.is_main:
+                return
+        save_checkpoint(self.model_dir, name, epoch, params, opt_state,
+                        step=int(state.step), async_save=async_save)
