@@ -58,7 +58,7 @@ def main():
     ps = int(os.environ.get("PS", 128))
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
-    tot_f = tot_b = 0.0
+    tot_f = tot_b = tot_b16 = 0.0
     print(f"{'stage':<6} {'H':>4} {'C':>4} {'d':>2} "
           f"{'fwd_ms':>8} {'bwd_ms':>8} {'bwd/fwd':>7}  (x depth totals)")
     for name, H, C, d in stages(ps):
@@ -78,15 +78,17 @@ def main():
             "fused_leff": lambda: fused_leff(
                 x, w1, b1, wd, bd, w2, b2, ln_s, ln_b, residual=True),
             "fused_leff_bwd": lambda: fused_leff_bwd(
-                x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, residual=True),
+                x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, residual=True,
+                conv_f32=True),
         })
         f, bwd = t["fused_leff"], t["fused_leff_bwd"]
         tot_f += f * d
         tot_b += bwd * d
         print(f"{name:<6} {H:>4} {C:>4} {d:>2} {f:>8.3f} {bwd:>8.3f} "
-              f"{bwd / max(f, 1e-9):>7.2f}  ({f * d:7.2f} / {bwd * d:7.2f})",
+              f"{bwd / max(f, 1e-9):>7.2f}  "
+              f"({f * d:7.2f} / {bwd * d:7.2f})",
               flush=True)
-    print(f"totals: fwd {tot_f:.1f} ms  bwd {tot_b:.1f} ms")
+    print(f"totals: fwd {tot_f:.1f} ms  bwd_f32 {tot_b:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -103,19 +103,39 @@ def _dgelu(h, cheap: bool = False):
     return Phi + hf * phi
 
 
+def _gelu_and_dgelu(h, cheap: bool = False):
+    """(gelu(h), d gelu(h)/dh) sharing one erf evaluation — the backward
+    kernels need both of the SAME pre-activation (a2 for dw2, dgelu for
+    dhc); computing them separately would run the erf polynomial twice
+    over the hidden volume. fp32 in/out."""
+    hf = h.astype(jnp.float32)
+    erf_fn = _erf_poly if cheap else _erf
+    Phi = 0.5 * (1.0 + erf_fn(hf * (2.0 ** -0.5)))
+    phi = jnp.exp(-0.5 * hf * hf) * _INV_SQRT_2PI
+    return hf * Phi, Phi + hf * phi
+
+
 def _packed_helpers(W, C, Ch, p, has_ln, x_dtype):
     """Shared packed-lane helpers for every LeFF kernel family (row-tiled
     and whole-image, forward and backward). In pixel-packed mode (p > 1)
     W/C/Ch are the PACKED dims: p image pixels share one packed column,
     each owning a cq/chq lane slot.
 
-    Returns (tap, ln_apply, ln_stats, group_mean):
+    Returns (tap, ln_apply, ln_stats, group_mean, shift_fill):
       tap(hs, ddx)        ddx in {0,1,2}: conv tap (rows, W, Ch) of a
                           ring-padded (rows, W+2, Ch) slab. Packed: the
                           x-neighbour pixel lives one chq-lane slot over
                           (a +-chq lane roll = register renaming when chq
                           is a multiple of 128); slot 0/p-1 wrap into the
                           adjacent packed column via the shifted slice.
+      shift_fill(hs)      packed only (None if p == 1): build BOTH
+                          x-neighbour copies (L, R), each (rows, W, Ch),
+                          of the full slab in one pass per side. A kernel
+                          that stores these to scratch turns every
+                          subsequent ddx=0/2 tap into a plain row slice —
+                          the per-tap roll+select (~3 VPU ops instead of
+                          1) otherwise runs 6x per 9-tap conv, and the
+                          backward convolves three times (27 taps).
       ln_apply(tok, s, b, prec)      LN'd tokens in tok.dtype.
       ln_stats(tok, s, b, prec)      (t, that fp32, rsig fp32) for the
                                      backward; that/rsig None if no LN.
@@ -144,6 +164,18 @@ def _packed_helpers(W, C, Ch, p, has_ln, x_dtype):
         Bv = jnp.roll(hs, -chq, axis=2)
         return jnp.where(lane >= (p - 1) * chq, Bv[:, 2:W + 2],
                          Bv[:, 1:W + 1])
+
+    if p == 1:
+        shift_fill = None
+    else:
+        def shift_fill(hs):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Ch), 2)
+            A = jnp.roll(hs, chq, axis=2)
+            L = jnp.where(lane < chq, A[:, 0:W], A[:, 1:W + 1])
+            Bv = jnp.roll(hs, -chq, axis=2)
+            R = jnp.where(lane >= (p - 1) * chq, Bv[:, 2:W + 2],
+                          Bv[:, 1:W + 1])
+            return L, R
 
     def group_mean_mat(dtype):
         li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
@@ -186,7 +218,7 @@ def _packed_helpers(W, C, Ch, p, has_ln, x_dtype):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=prec)
 
-    return tap, ln_apply, ln_stats, group_mean
+    return tap, ln_apply, ln_stats, group_mean, shift_fill
 
 
 def overlapped_tiles(xp: jnp.ndarray, Th: int) -> jnp.ndarray:
@@ -209,7 +241,8 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
     HBM row and every VPU/MXU op at full 128 lanes."""
     cheap = out_dtype == jnp.bfloat16
     acc_dtype = jnp.float32 if conv_f32 else out_dtype
-    tap, ln_apply, _, _ = _packed_helpers(W, C, Ch, p, has_ln, out_dtype)
+    tap, ln_apply, _, _, shift_fill = _packed_helpers(W, C, Ch, p, has_ln,
+                                                      out_dtype)
 
     # Row-chunked pipeline: the LeFF chain (matmul -> GELU -> 9-tap conv ->
     # GELU -> matmul) is a strict MXU->VPU->VPU->MXU dependency per tile,
@@ -236,7 +269,8 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
         return chunks
 
     def kernel(xm_ref, xa_ref, xb_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref,
-               wd_ref, bd_ref, w2_ref, b2_ref, o_ref, hid_ref):
+               wd_ref, bd_ref, w2_ref, b2_ref, o_ref, hid_ref,
+               hidL_ref=None, hidR_ref=None):
         t = pl.program_id(1)
         xm = xm_ref[0]  # (Th, W, C) tile rows
         # assemble the +-1-row halo from the neighbouring 8-row blocks
@@ -280,11 +314,26 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
             hid_ref[Th + 2 - n_bot:Th + 2] = jnp.zeros(
                 (n_bot, W + 2, Ch), xt.dtype)
 
+        # packed: materialize the two x-neighbour copies once so the 6
+        # off-centre taps below are plain row slices (see shift_fill)
+        if hidL_ref is not None:
+            L, R = shift_fill(hid_ref[:])
+            hidL_ref[:] = L
+            hidR_ref[:] = R
+
         # phase B: out = gelu(dwconv3x3(hidden)) @ w2 + b2, chunked over
         # rows (the +-1-row conv halo reads the shared hidden scratch)
         for r0, rows_b in _row_chunks(Th):
             acc = jnp.zeros((rows_b, W, Ch), acc_dtype)
             for dy in range(3):
+                if hidL_ref is not None:
+                    sl = slice(r0 + dy, r0 + dy + rows_b)
+                    srcs = (hidL_ref[sl], hid_ref[sl, 1:W + 1],
+                            hidR_ref[sl])
+                    for dx in range(3):
+                        acc += srcs[dx].astype(acc_dtype) * \
+                            wd_ref[dy, dx, :].astype(acc_dtype)
+                    continue
                 hs = hid_ref[r0 + dy:r0 + dy + rows_b]  # (rows, W+2, Ch)
                 for dx in range(3):
                     acc += tap(hs, dx).astype(acc_dtype) * \
@@ -315,10 +364,12 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
     f32 = jnp.float32
     acc_dt = (_tap_dtype(out_dtype) if conv_f32 is None
               else (f32 if conv_f32 else out_dtype))
-    tap, ln_apply, _, _ = _packed_helpers(W, C, Ch, p, has_ln, out_dtype)
+    tap, ln_apply, _, _, shift_fill = _packed_helpers(W, C, Ch, p, has_ln,
+                                                      out_dtype)
 
     def kernel(xm_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
-               w2_ref, b2_ref, o_ref, hid_ref):
+               w2_ref, b2_ref, o_ref, hid_ref, hidL_ref=None,
+               hidR_ref=None):
         for bi in range(Bt):
             xi = xm_ref[bi]  # (H, W, C)
             prec = (jax.lax.Precision.HIGHEST if xi.dtype == jnp.float32
@@ -335,8 +386,20 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
             hid_ref[1:H + 1] = jnp.concatenate([zcol, h, zcol], axis=1)
             hid_ref[H0 + 1:H + 2] = jnp.zeros((H - H0 + 1, W + 2, Ch),
                                               xi.dtype)
+            if hidL_ref is not None:
+                Lv, Rv = shift_fill(hid_ref[:])
+                hidL_ref[:] = Lv
+                hidR_ref[:] = Rv
             acc = jnp.zeros((H, W, Ch), acc_dt)
             for dy in range(3):
+                if hidL_ref is not None:
+                    sl = slice(dy, dy + H)
+                    srcs = (hidL_ref[sl], hid_ref[sl, 1:W + 1],
+                            hidR_ref[sl])
+                    for dx in range(3):
+                        acc += srcs[dx].astype(acc_dt) * \
+                            wd_ref[dy, dx, :].astype(acc_dt)
+                    continue
                 rows3 = hid_ref[dy:dy + H]
                 for dx in range(3):
                     acc += tap(rows3, dx).astype(acc_dt) * \
@@ -355,11 +418,13 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
     return kernel
 
 
-def _smallimg_bt(B, H, W, C, Ch, itemsize, n_tiles=2, scratch_mb=4):
+def _smallimg_bt(B, H, W, C, Ch, itemsize, n_tiles=2, scratch_mb=4, p=1):
     """Pick a batch tile for whole-image mode, or 0 to use row tiling:
     the per-image hidden scratch must be small and Bt images' I/O tiles
     must fit comfortably."""
     scratch = (H + 2) * (W + 2) * max(Ch, 128) * itemsize
+    if p > 1:  # the two x-neighbour tap scratches (shift_fill)
+        scratch += 2 * (H + 2) * W * max(Ch, 128) * itemsize
     if scratch > scratch_mb * 2**20:
         return 0
     per_img = H * W * max(C, 128) * itemsize * n_tiles
@@ -370,7 +435,7 @@ def _smallimg_bt(B, H, W, C, Ch, itemsize, n_tiles=2, scratch_mb=4):
 
 
 def _pick_th(H: int, W: int, Ch: int, itemsize: int,
-             budget: int | None = None, C: int = 0) -> int:
+             budget: int | None = None, C: int = 0, p: int = 1) -> int:
     """Tile height: the hidden tile (Th+2, W+2, Ch) dominates VMEM; keep it
     (plus the fp32 conv accumulator and the folded-LN fp32 token copy,
     both lane-padded to 128) under budget. The neighbour-block halo scheme
@@ -381,6 +446,8 @@ def _pick_th(H: int, W: int, Ch: int, itemsize: int,
     per_row = (W + 2) * max(Ch, 128) * (itemsize + 4 + 4)
     # x tile/halo/assembled copies (double-buffered) + LN f32 temp
     per_row += (W + 2) * max(C, 128) * (4 + 5 * itemsize)
+    if p > 1:  # the two x-neighbour tap scratches (shift_fill)
+        per_row += 2 * W * max(Ch, 128) * itemsize
     th = max(budget // max(per_row, 1) - 2, 8)
     th = min(th // 8 * 8, H)
     while H % th or th % 8:
@@ -433,13 +500,15 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
     f32 = jnp.float32
     acc_dt = (_tap_dtype(x_dtype) if conv_f32 is None
               else (f32 if conv_f32 else x_dtype))
-    tap, _, ln_stats, group_mean = _packed_helpers(W, C, Ch, p, has_ln,
-                                                   x_dtype)
+    tap, _, ln_stats, group_mean, shift_fill = _packed_helpers(
+        W, C, Ch, p, has_ln, x_dtype)
 
     def kernel(xm_ref, xa_ref, xb_ref, dym_ref, dya_ref, dyb_ref,
                ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
                dx_ref, dw1_ref, db1_ref, dwd_ref, dbd_ref, dw2_ref,
-               db2_ref, dls_ref, dlb_ref, a1e_ref, dhce_ref):
+               db2_ref, dls_ref, dlb_ref, a1e_ref, dhce_ref,
+               a1eL_ref=None, a1eR_ref=None, dhceL_ref=None,
+               dhceR_ref=None):
         b = pl.program_id(0)
         t = pl.program_id(1)
         xm = xm_ref[0]
@@ -481,6 +550,18 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
             a1e_ref[Th + 4 - n_bot_a:] = jnp.zeros(
                 (n_bot_a, W + 2, Ch), xm.dtype)
 
+        packed = a1eL_ref is not None
+        if packed:  # x-neighbour copies once; 18 a1 taps become slices
+            Lv, Rv = shift_fill(a1e_ref[:])
+            a1eL_ref[:] = Lv
+            a1eR_ref[:] = Rv
+
+        def tap3(ref, L_ref, R_ref, r0, rows, ddx):
+            if packed:
+                sl = slice(r0, r0 + rows)
+                return (L_ref[sl], ref[sl, 1:W + 1], R_ref[sl])[ddx]
+            return tap(ref[r0:r0 + rows], ddx)
+
         # ---- phase 2: dhc on Th+2 rows; dw2/db2/dwd/dbd on own rows
         dye = jnp.concatenate(
             [dya_ref[0, 7:8], dym_ref[0], dyb_ref[0, 0:1]], axis=0)
@@ -493,17 +574,23 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
             preferred_element_type=f32, precision=prec)
         acc = jnp.zeros((Th + 2, W, Ch), acc_dt)
         for ddy in range(3):
-            rows = a1e_ref[ddy:ddy + Th + 2]
             for ddx in range(3):
-                acc += tap(rows, ddx).astype(acc_dt) * \
+                acc += tap3(a1e_ref, a1eL_ref, a1eR_ref, ddy, Th + 2,
+                            ddx).astype(acc_dt) * \
                     wd_ref[ddy, ddx, :].astype(acc_dt)
         hc = acc.astype(f32) + bd_ref[:].astype(f32)
-        dhc = _dgelu(hc, cheap=cheap) * g2.reshape(Th + 2, W, Ch)
+        # gelu(hc) and dgelu(hc) share one erf pass (see _gelu_and_dgelu)
+        a2_full, dg = _gelu_and_dgelu(hc, cheap=cheap)
+        dhc = dg * g2.reshape(Th + 2, W, Ch)
         dhce_ref[:, 1:W + 1, :] = dhc.astype(xm.dtype)
         dhce_ref[:, 0:1, :] = jnp.zeros((Th + 2, 1, Ch), xm.dtype)
         dhce_ref[:, W + 1:W + 2, :] = jnp.zeros((Th + 2, 1, Ch), xm.dtype)
+        if packed:
+            Lv, Rv = shift_fill(dhce_ref[:])
+            dhceL_ref[:] = Lv
+            dhceR_ref[:] = Rv
 
-        a2_own = _gelu(hc[1:Th + 1], cheap=cheap).astype(xm.dtype)
+        a2_own = a2_full[1:Th + 1].astype(xm.dtype)
         dy_own = dye[1:Th + 1]
         dw2_ref[:] += jax.lax.dot_general(
             a2_own.reshape(Th * W, Ch), dy_own.reshape(Th * W, C),
@@ -517,18 +604,18 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
         # HxW reduction itself accumulates fp32
         dhc_own_t = dhc_own.astype(acc_dt)
         for ddy in range(3):
-            rows = a1e_ref[1 + ddy:1 + ddy + Th]
             for ddx in range(3):
-                a1t = tap(rows, ddx).astype(acc_dt)
+                a1t = tap3(a1e_ref, a1eL_ref, a1eR_ref, 1 + ddy, Th,
+                           ddx).astype(acc_dt)
                 dwd_ref[ddy, ddx, :] += jnp.sum(
                     (a1t * dhc_own_t).astype(f32), axis=(0, 1))
 
         # ---- phase 3: da1 -> dh1 -> dw1/db1/dt -> LN backward -> dx
         da1 = jnp.zeros((Th, W, Ch), acc_dt)
         for ddy in range(3):
-            rows = dhce_ref[2 - ddy:2 - ddy + Th]
             for ddx in range(3):
-                da1 += tap(rows, 2 - ddx).astype(acc_dt) * \
+                da1 += tap3(dhce_ref, dhceL_ref, dhceR_ref, 2 - ddy, Th,
+                            2 - ddx).astype(acc_dt) * \
                     wd_ref[ddy, ddx, :].astype(acc_dt)
         tok_own = xm.reshape(Th * W, C)
         t_own, that, rsig = ln_stats(tok_own, ln_s_ref[:], ln_b_ref[:],
@@ -576,13 +663,23 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
     f32 = jnp.float32
     acc_dt = (_tap_dtype(x_dtype) if conv_f32 is None
               else (f32 if conv_f32 else x_dtype))
-    tap, _, ln_stats, group_mean = _packed_helpers(W, C, Ch, p, has_ln,
-                                                   x_dtype)
+    tap, _, ln_stats, group_mean, shift_fill = _packed_helpers(
+        W, C, Ch, p, has_ln, x_dtype)
 
     def kernel(xm_ref, dym_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref,
                wd_ref, bd_ref, w2_ref,
                dx_ref, dw1_ref, db1_ref, dwd_ref, dbd_ref, dw2_ref,
-               db2_ref, dls_ref, dlb_ref, a1e_ref, dhce_ref):
+               db2_ref, dls_ref, dlb_ref, a1e_ref, dhce_ref,
+               a1eL_ref=None, a1eR_ref=None, dhceL_ref=None,
+               dhceR_ref=None):
+        packed = a1eL_ref is not None
+
+        def tap3(ref, L_ref, R_ref, r0, rows, ddx):
+            if packed:
+                sl = slice(r0, r0 + rows)
+                return (L_ref[sl], ref[sl, 1:W + 1], R_ref[sl])[ddx]
+            return tap(ref[r0:r0 + rows], ddx)
+
         @pl.when(pl.program_id(0) == 0)
         def _init():
             for r in (dw1_ref, db1_ref, dwd_ref, dbd_ref, dw2_ref,
@@ -611,6 +708,10 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
             a1e_ref[1:H + 1] = jnp.concatenate([zcol, a1, zcol], axis=1)
             a1e_ref[H0 + 1:H + 2] = jnp.zeros((H - H0 + 1, W + 2, Ch),
                                               xi.dtype)
+            if packed:
+                Lv, Rv = shift_fill(a1e_ref[:])
+                a1eL_ref[:] = Lv
+                a1eR_ref[:] = Rv
 
             # phase 2: hc -> dhc; dw2/db2/dwd/dbd
             g2 = jax.lax.dot_general(
@@ -619,18 +720,24 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
                 preferred_element_type=f32, precision=prec)
             acc = jnp.zeros((H, W, Ch), acc_dt)
             for ddy in range(3):
-                rows3 = a1e_ref[ddy:ddy + H]
                 for ddx in range(3):
-                    acc += tap(rows3, ddx).astype(acc_dt) * \
+                    acc += tap3(a1e_ref, a1eL_ref, a1eR_ref, ddy, H,
+                                ddx).astype(acc_dt) * \
                         wd_ref[ddy, ddx, :].astype(acc_dt)
             hc = acc.astype(f32) + bd_ref[:].astype(f32)
-            dhc = _dgelu(hc, cheap=cheap) * g2.reshape(H, W, Ch)
+            # gelu(hc) and dgelu(hc) share one erf pass
+            a2f, dg = _gelu_and_dgelu(hc, cheap=cheap)
+            dhc = dg * g2.reshape(H, W, Ch)
             dhce_ref[0:1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
             dhce_ref[1:H + 1] = jnp.concatenate(
                 [zcol, dhc.astype(xi.dtype), zcol], axis=1)
             dhce_ref[H + 1:H + 2] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+            if packed:
+                Lv, Rv = shift_fill(dhce_ref[:])
+                dhceL_ref[:] = Lv
+                dhceR_ref[:] = Rv
 
-            a2 = _gelu(hc, cheap=cheap).astype(xi.dtype)
+            a2 = a2f.astype(xi.dtype)
             dw2_ref[:] += jax.lax.dot_general(
                 a2.reshape(H * W, Ch), dyi.reshape(H * W, C),
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -641,18 +748,18 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
             # tap products in acc_dt; the HxW reduction stays fp32
             dhc_t = dhc.astype(acc_dt)
             for ddy in range(3):
-                rows3 = a1e_ref[ddy:ddy + H]
                 for ddx in range(3):
-                    a1t = tap(rows3, ddx).astype(acc_dt)
+                    a1t = tap3(a1e_ref, a1eL_ref, a1eR_ref, ddy, H,
+                               ddx).astype(acc_dt)
                     dwd_ref[ddy, ddx, :] += jnp.sum(
                         (a1t * dhc_t).astype(f32), axis=(0, 1))
 
             # phase 3: da1 -> dh1 -> dw1/db1/dt -> LN bwd -> dx
             da1 = jnp.zeros((H, W, Ch), acc_dt)
             for ddy in range(3):
-                rows3 = dhce_ref[2 - ddy:2 - ddy + H]
                 for ddx in range(3):
-                    da1 += tap(rows3, 2 - ddx).astype(acc_dt) * \
+                    da1 += tap3(dhce_ref, dhceL_ref, dhceR_ref, 2 - ddy, H,
+                                2 - ddx).astype(acc_dt) * \
                         wd_ref[ddy, ddx, :].astype(acc_dt)
             dh1 = da1.reshape(H * W, Ch) * _dgelu(h1, cheap=cheap)
             if H != H0:
@@ -728,7 +835,8 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
         H = Hp
     f32 = jnp.float32
     bt = (_smallimg_bt(B, H, W, C, Ch, x.dtype.itemsize, n_tiles=3,
-                       scratch_mb=2) if smallimg else 0)
+                       scratch_mb=6 if p > 1 else 2, p=p)
+          if smallimg else 0)
     if bt:
         kernel = _make_smallimg_bwd_kernel(bt, H0, H, W, C, Ch, has_ln,
                                            residual, x.dtype, p,
@@ -767,7 +875,8 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
                 jax.ShapeDtypeStruct((1, C), f32),
             ],
             scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Ch), x.dtype),
-                            pltpu.VMEM((H + 2, W + 2, Ch), x.dtype)],
+                            pltpu.VMEM((H + 2, W + 2, Ch), x.dtype)]
+            + ([pltpu.VMEM((H + 2, W, Ch), x.dtype)] * 4 if p > 1 else []),
             interpret=interpret,
             compiler_params=(pltpu.CompilerParams(
                 vmem_limit_bytes=50 * 2**20) if not interpret else None),
@@ -783,6 +892,8 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
     # two hidden-size scratches + several fp32 hidden temps per row
     per_row = (W + 2) * max(Ch, 128) * (2 * x.dtype.itemsize + 20) \
         + (W + 2) * max(C, 128) * (4 + 6 * x.dtype.itemsize)
+    if p > 1:  # four x-neighbour tap scratches (shift_fill)
+        per_row += 4 * W * max(Ch, 128) * x.dtype.itemsize
     th = max(budget // max(per_row, 1) - 4, 8)
     th = min(th // 8 * 8, H)
     while H % th or th % 8:
@@ -834,7 +945,11 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
             jax.ShapeDtypeStruct((1, C), f32),             # dln_b
         ],
         scratch_shapes=[pltpu.VMEM((Th + 4, W + 2, Ch), x.dtype),
-                        pltpu.VMEM((Th + 2, W + 2, Ch), x.dtype)],
+                        pltpu.VMEM((Th + 2, W + 2, Ch), x.dtype)]
+        + ([pltpu.VMEM((Th + 4, W, Ch), x.dtype),
+            pltpu.VMEM((Th + 4, W, Ch), x.dtype),
+            pltpu.VMEM((Th + 2, W, Ch), x.dtype),
+            pltpu.VMEM((Th + 2, W, Ch), x.dtype)] if p > 1 else []),
         interpret=interpret,
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=int(max((vmem_mb or 24) * 2.5, 50)) * 2**20)
@@ -976,7 +1091,9 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
         x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
         H = Hp
 
-    bt = _smallimg_bt(B, H, W, C, Ch, x.dtype.itemsize) if smallimg else 0
+    bt = (_smallimg_bt(B, H, W, C, Ch, x.dtype.itemsize,
+                       scratch_mb=12 if p > 1 else 4, p=p)
+          if smallimg else 0)
     if bt:
         kernel = _make_smallimg_kernel(bt, H0, H, W, C, Ch, has_ln,
                                        residual, x.dtype, p)
@@ -993,7 +1110,8 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
             ],
             out_specs=pl.BlockSpec((bt, H, W, C), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Ch), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Ch), x.dtype)]
+            + ([pltpu.VMEM((H + 2, W, Ch), x.dtype)] * 2 if p > 1 else []),
             out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
             interpret=interpret,
             compiler_params=(pltpu.CompilerParams(
@@ -1011,7 +1129,7 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
         return out
 
     budget = (vmem_mb * 2**20) if vmem_mb else None
-    Th = _pick_th(H, W, Ch, x.dtype.itemsize, budget=budget, C=C)
+    Th = _pick_th(H, W, Ch, x.dtype.itemsize, budget=budget, C=C, p=p)
     nT = H // Th
     nB8 = H // 8
     kernel = _make_kernel(Th, H0, H, W, C, Ch, has_ln, residual, x.dtype,
@@ -1040,7 +1158,8 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
         ],
         out_specs=pl.BlockSpec((1, Th, W, C), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((Th + 2, W + 2, Ch), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((Th + 2, W + 2, Ch), x.dtype)]
+        + ([pltpu.VMEM((Th + 2, W, Ch), x.dtype)] * 2 if p > 1 else []),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         interpret=interpret,
         compiler_params=(pltpu.CompilerParams(
