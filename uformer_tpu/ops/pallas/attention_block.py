@@ -137,7 +137,10 @@ def _make_packed_kernel(T, N, C, p, nH, D, win, g, scale, has_mod, shifted,
                 if tok.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
         if shifted:
-            base = pl.program_id(0) * T
+            # geom[5]: global window offset of this call's first window —
+            # 0 normally; the H-sharded spatial path passes its shard's
+            # offset so region ids match the full-image mask construction
+            base = geom_ref[5] + pl.program_id(0) * T
             rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
             widx = base + rows * g + cols // N
@@ -239,7 +242,8 @@ def _make_kernel(T, N, C, nH, D, win, g, hg, scale, has_mod, has_ln, shifted,
         # SW-MSA shift regions with the window id, so one != comparison
         # masks both shifted-window leakage and cross-window pairs
         if shifted:
-            base = pl.program_id(0) * T
+            # geom[5]: global window offset (see packed kernel note)
+            base = geom_ref[5] + pl.program_id(0) * T
             rows = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (T // g, P), 1)
             widx = base + rows * g + cols // N
@@ -1051,7 +1055,7 @@ def _pack_args(x, mod, wq, bq, wkv, bkv, wo, bo, bias, p, C, N):
 
 def _fused_attention_block_packed(x, mod, wq, bq, wkv, bkv, wo, bo, bias,
                                   *, win, shift, H, W, scale, num_heads,
-                                  interpret, vmem_mb):
+                                  interpret, vmem_mb, w_off=0):
     Bw, N, C = x.shape
     p = 128 // C
     nH = num_heads
@@ -1072,7 +1076,9 @@ def _fused_attention_block_packed(x, mod, wq, bq, wkv, bkv, wo, bo, bias,
         mod_p = jnp.zeros((K, CP), x.dtype)
     nW_w = W // win
     nW = (H // win) * nW_w
-    geom = jnp.asarray([H, W, shift, nW_w, nW], jnp.int32)
+    geom = jnp.concatenate([
+        jnp.asarray([H, W, shift, nW_w, nW], jnp.int32),
+        jnp.asarray(w_off, jnp.int32).reshape(1)])
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1112,11 +1118,14 @@ def _fused_attention_block_packed(x, mod, wq, bq, wkv, bkv, wo, bo, bias,
 def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
                           bias, *, win, shift, H, W, scale, num_heads,
                           has_ln=True, interpret=False, vmem_mb=0,
-                          head_group=0, packed="auto"):
+                          head_group=0, packed="auto", w_off=0):
     """x: (Bw, N, C) pre-LN windows; wq: (C, C); wkv: (C, 2C);
     returns (Bw, N, C). `packed` True/False forces the narrow-C
     pixel-packed variant on/off; "auto" follows UFORMER_TPU_PACKED_ATTN
-    (read at trace time)."""
+    (read at trace time). `w_off` (traced) is the global window index of
+    x's first window — nonzero only for the H-sharded spatial path,
+    whose shard sees a slice of the image's windows but must build the
+    same SW-MSA region ids the full image would."""
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
@@ -1125,7 +1134,7 @@ def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
         return _fused_attention_block_packed(
             x, mod, wq, bq, wkv, bkv, wo, bo, bias, win=win, shift=shift,
             H=H, W=W, scale=scale, num_heads=nH, interpret=interpret,
-            vmem_mb=vmem_mb)
+            vmem_mb=vmem_mb, w_off=w_off)
     # pre-split weights per head GROUP of hg heads (heads are contiguous
     # lane spans of the projection matrices, so a group slice is a plain
     # reshape): qkv (nG, C, hg*D); wo (nG, hg*D, C). hg must divide nH —
@@ -1157,7 +1166,9 @@ def fused_attention_block(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
 
     nW_w = W // win
     nW = (H // win) * nW_w
-    geom = jnp.asarray([H, W, shift, nW_w, nW], jnp.int32)
+    geom = jnp.concatenate([
+        jnp.asarray([H, W, shift, nW_w, nW], jnp.int32),
+        jnp.asarray(w_off, jnp.int32).reshape(1)])
 
     # index maps receive the scalar-prefetch ref as a trailing argument
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -109,15 +109,75 @@ def _layernorm(x, scale, bias, eps=1e-5):
     return (y * scale + bias).astype(x.dtype)
 
 
+def _use_pallas(backend: str) -> bool:
+    from uformer_tpu.ops.attention import resolve_backend
+
+    return resolve_backend(backend) == "pallas"
+
+
+def _leff_sharded_fused(x, m, ln_s, ln_b, axis_name, interpret):
+    """x + LeFF(LN(x)) on an H-sharded (Hs, W, C) shard through the fused
+    Pallas kernel: 1-row halo exchange, kernel on the extended slab, crop.
+
+    The kernel zero-pads its conv ring AFTER linear1+GELU (matching the
+    unsharded model at true image edges), but halo_exchange fills
+    global-edge halos with zero PIXELS, which LN+linear1+gelu would turn
+    into a nonzero hidden row. Those two rows (global row 0 / H-1, on the
+    first/last shard only) are recomputed locally with true edge
+    semantics — a 2-row jnp pass."""
+    from uformer_tpu.ops.dwconv import _depthwise_conv2d_jnp
+    from uformer_tpu.ops.pallas.leff import fused_leff
+
+    def hidden(rows):  # LN -> linear1 -> gelu on a few rows
+        t = _layernorm(rows, ln_s, ln_b)
+        h = t @ m["linear1_kernel"].astype(t.dtype) + \
+            m["linear1_bias"].astype(t.dtype)
+        return jax.nn.gelu(h, approximate=False)
+
+    def edge_row(rows2, top: bool):
+        # SAME dwconv on the 2-row slab zero-pads outside it — exactly
+        # the kernel's ring at a true image edge
+        h = hidden(rows2)
+        y2 = _depthwise_conv2d_jnp(h[None], m["dwconv_kernel"],
+                                   m["dwconv_bias"])[0]
+        a = jax.nn.gelu(y2[0 if top else -1], approximate=False)
+        return a @ m["linear2_kernel"].astype(a.dtype) + \
+            m["linear2_bias"].astype(a.dtype)
+
+    kw = dict(ln_s=jnp.asarray(ln_s, jnp.float32),
+              ln_b=jnp.asarray(ln_b, jnp.float32),
+              residual=False, interpret=interpret)
+    args = (m["linear1_kernel"].astype(x.dtype), m["linear1_bias"],
+            m["dwconv_kernel"].astype(x.dtype), m["dwconv_bias"],
+            m["linear2_kernel"].astype(x.dtype), m["linear2_bias"])
+    if axis_name is None:
+        return x + fused_leff(x[None], *args, **kw)[0].astype(x.dtype)
+    xh = halo_exchange(x, 1, axis_name)
+    y = fused_leff(xh[None], *args, **kw)[0][1:-1].astype(x.dtype)
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    y = y.at[0].set(jnp.where(idx == 0, edge_row(x[:2], True), y[0]))
+    y = y.at[-1].set(jnp.where(idx == n - 1, edge_row(x[-2:], False),
+                               y[-1]))
+    return x + y
+
+
 def lewin_block_sharded(params, x, *, H: int, W: int, win: int, shift: int,
-                        num_heads: int, axis_name: str = "data"):
+                        num_heads: int, axis_name: str = "data",
+                        backend: str = "auto"):
     """Forward of one LeWin block on an H-sharded (Hs, W, C) shard,
     numerically equal to LeWinBlock.apply on the gathered image.
 
     params: the LeWinBlock param subtree (norm1/attn/norm2/mlp[/modulator]).
     Requires Hs % win == 0 and shift < win (the halo is at most one window
     row — the cheap-ICI property from SURVEY.md §5).
-    """
+
+    backend="auto"/"pallas" routes the shard through the SAME fused Pallas
+    kernels the single-chip path uses (VERDICT r3 item 5): windowed
+    attention with the shard's global window offset threaded into the
+    inline SW-MSA mask (`w_off`), and the fused LeFF on a 1-row-halo'd
+    slab — so >1-chip images keep single-chip kernel speed. "jnp" keeps
+    the plain XLA math (CPU tests, reference)."""
     p = params
     Hs = x.shape[0]
     assert Hs % win == 0 and 0 <= shift < win
@@ -125,49 +185,78 @@ def lewin_block_sharded(params, x, *, H: int, W: int, win: int, shift: int,
     C = x.shape[-1]
     D = C // num_heads
 
+    use_pallas = _use_pallas(backend)
+    interpret = jax.default_backend() != "tpu"
+
+    wq = p["attn"]["qkv"]["to_q"]["kernel"]
+    bq = p["attn"]["qkv"]["to_q"].get("bias", jnp.zeros(C))
+    wkv = p["attn"]["qkv"]["to_kv"]["kernel"]
+    bkv = p["attn"]["qkv"]["to_kv"].get("bias", jnp.zeros(2 * C))
+    bias = gather_bias(
+        p["attn"]["relative_position_bias_table"].astype(jnp.float32),
+        win, win)
+
     shortcut = x
-    y = _layernorm(x, p["norm1"]["scale"], p["norm1"]["bias"])
-    y = cyclic_shift_sharded(y, shift, axis_name)
+    if use_pallas:
+        # LN folds into the kernel (it commutes with shift/partition)
+        y = cyclic_shift_sharded(x, shift, axis_name)
+    else:
+        y = _layernorm(x, p["norm1"]["scale"], p["norm1"]["bias"])
+        y = cyclic_shift_sharded(y, shift, axis_name)
     # local roll along W is shard-local
     if shift:
         y = jnp.roll(y, -shift, axis=1)
 
     xw = window_partition(y[None], win)[..., :]  # (nW_local, N, C)
-    if "modulator" in p:
-        xw = xw + p["modulator"].astype(xw.dtype)[None]
 
-    # qkv (LinearProjection layout)
-    wq = p["attn"]["qkv"]["to_q"]["kernel"].astype(xw.dtype)
-    bq = p["attn"]["qkv"]["to_q"].get("bias", jnp.zeros(C))
-    wkv = p["attn"]["qkv"]["to_kv"]["kernel"].astype(xw.dtype)
-    bkv = p["attn"]["qkv"]["to_kv"].get("bias", jnp.zeros(2 * C))
-    Bw, N, _ = xw.shape
-    q = (xw @ wq + bq.astype(xw.dtype)).reshape(Bw, N, num_heads, D)
-    kv = (xw @ wkv + bkv.astype(xw.dtype)).reshape(Bw, N, 2, num_heads, D)
-    q = q.transpose(0, 2, 1, 3)
-    k = kv[:, :, 0].transpose(0, 2, 1, 3)
-    v = kv[:, :, 1].transpose(0, 2, 1, 3)
+    if use_pallas:
+        from uformer_tpu.ops.pallas.attention_block import (
+            fused_attention_block,
+        )
 
-    bias = gather_bias(
-        p["attn"]["relative_position_bias_table"].astype(jnp.float32),
-        win, win)
-    mask = None
-    if shift:
-        full_mask = jnp.asarray(shift_window_mask(H, W, win, shift))
-        if axis_name is None:
-            mask = full_mask
-        else:
-            nW_w = W // win
-            row0 = jax.lax.axis_index(axis_name) * n_shard_rows
-            mask = jax.lax.dynamic_slice(
-                full_mask, (row0 * nW_w, 0, 0),
-                (n_shard_rows * nW_w, full_mask.shape[1],
-                 full_mask.shape[2]))
-    out = _window_attention_jnp(q, k, v, bias, mask, scale=D ** -0.5)
-    out = out @ p["attn"]["proj"]["kernel"].astype(out.dtype) + \
-        p["attn"]["proj"]["bias"].astype(out.dtype)
+        nW_w = W // win
+        w_off = (0 if axis_name is None
+                 else jax.lax.axis_index(axis_name) * n_shard_rows * nW_w)
+        mod = p.get("modulator")
+        out = fused_attention_block(
+            xw, None if mod is None else mod.astype(xw.dtype),
+            jnp.asarray(p["norm1"]["scale"], jnp.float32),
+            jnp.asarray(p["norm1"]["bias"], jnp.float32),
+            wq.astype(xw.dtype), bq.astype(xw.dtype),
+            wkv.astype(xw.dtype), bkv.astype(xw.dtype),
+            p["attn"]["proj"]["kernel"].astype(xw.dtype),
+            p["attn"]["proj"]["bias"].astype(xw.dtype),
+            bias, win=win, shift=shift, H=H, W=W, scale=D ** -0.5,
+            num_heads=num_heads, has_ln=True, interpret=interpret,
+            packed=False, w_off=w_off)
+    else:
+        if "modulator" in p:
+            xw = xw + p["modulator"].astype(xw.dtype)[None]
+        Bw, N, _ = xw.shape
+        q = (xw @ wq.astype(xw.dtype) + bq.astype(xw.dtype)) \
+            .reshape(Bw, N, num_heads, D)
+        kv = (xw @ wkv.astype(xw.dtype) + bkv.astype(xw.dtype)) \
+            .reshape(Bw, N, 2, num_heads, D)
+        q = q.transpose(0, 2, 1, 3)
+        k = kv[:, :, 0].transpose(0, 2, 1, 3)
+        v = kv[:, :, 1].transpose(0, 2, 1, 3)
+        mask = None
+        if shift:
+            full_mask = jnp.asarray(shift_window_mask(H, W, win, shift))
+            if axis_name is None:
+                mask = full_mask
+            else:
+                nW_w = W // win
+                row0 = jax.lax.axis_index(axis_name) * n_shard_rows
+                mask = jax.lax.dynamic_slice(
+                    full_mask, (row0 * nW_w, 0, 0),
+                    (n_shard_rows * nW_w, full_mask.shape[1],
+                     full_mask.shape[2]))
+        out = _window_attention_jnp(q, k, v, bias, mask, scale=D ** -0.5)
+        out = out @ p["attn"]["proj"]["kernel"].astype(out.dtype) + \
+            p["attn"]["proj"]["bias"].astype(out.dtype)
 
-    y = window_reverse(out, win, Hs, W)[0]
+    y = window_reverse(out.astype(x.dtype), win, Hs, W)[0]
     if shift:
         y = jnp.roll(y, shift, axis=1)
     y = cyclic_unshift_sharded(y, shift, axis_name)
@@ -175,6 +264,10 @@ def lewin_block_sharded(params, x, *, H: int, W: int, win: int, shift: int,
 
     # LeFF with halo'd depthwise conv
     m = p["mlp"]
+    if use_pallas:
+        return _leff_sharded_fused(
+            x, m, p["norm2"]["scale"], p["norm2"]["bias"], axis_name,
+            interpret)
     y = _layernorm(x, p["norm2"]["scale"], p["norm2"]["bias"])
     y = y @ m["linear1_kernel"].astype(y.dtype) + \
         m["linear1_bias"].astype(y.dtype)
@@ -187,7 +280,8 @@ def lewin_block_sharded(params, x, *, H: int, W: int, win: int, shift: int,
 
 
 def run_lewin_block_spatially_sharded(params, img, mesh: Mesh, *, win: int,
-                                      shift: int, num_heads: int):
+                                      shift: int, num_heads: int,
+                                      backend: str = "auto"):
     """Drive one LeWin block over an (H, W, C) image sharded over the
     mesh's 'data' axis (H split across devices)."""
     from jax import shard_map
@@ -200,11 +294,12 @@ def run_lewin_block_spatially_sharded(params, img, mesh: Mesh, *, win: int,
 
     fn = functools.partial(lewin_block_sharded, H=H, W=W, win=win,
                            shift=shift, num_heads=num_heads,
-                           axis_name="data")
+                           axis_name="data", backend=backend)
     sharded = shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P("data", None, None)),
         out_specs=P("data", None, None),
+        check_vma=False,  # pallas_call inside needs vma checks off
     )
     img = jax.device_put(img, NamedSharding(mesh, P("data", None, None)))
     return sharded(params, img)
@@ -266,7 +361,8 @@ def _stage_geometry(reso: int, win: int, shift_flag: bool, depth: int):
 
 
 def uformer_forward_sharded(params, x, model, *, n_shards: int,
-                            axis_name: str = "data"):
+                            axis_name: str = "data",
+                            backend: str = "auto"):
     """Full Uformer forward on one (H, W, C) image H-sharded over
     `axis_name` — numerically equal to `model.apply` on the gathered image.
 
@@ -328,7 +424,7 @@ def uformer_forward_sharded(params, x, model, *, n_shards: int,
             assert modulator == ("modulator" in bp)
             y = lewin_block_sharded(
                 bp, y, H=Hk, W=W >> k_level, win=wi, shift=si,
-                num_heads=n_heads, axis_name=ax)
+                num_heads=n_heads, axis_name=ax, backend=backend)
         return y
 
     sharded = [level_sharded(k) for k in range(5)]
@@ -380,7 +476,8 @@ def uformer_forward_sharded(params, x, model, *, n_shards: int,
 
 
 def run_uformer_spatially_sharded(params, img, mesh: Mesh, model, *,
-                                  pad: bool = True):
+                                  pad: bool = True,
+                                  backend: str = "auto"):
     """Drive the FULL Uformer forward over a (B, H, W, C) batch (or a
     single (H, W, C) image) sharded over the mesh's 'data' axis. The whole
     U-graph — convs, windows, shifts, skips — runs distributed with halo
@@ -420,7 +517,8 @@ def run_uformer_spatially_sharded(params, img, mesh: Mesh, model, *,
 
     p = params.get("params", params)
     fn = functools.partial(uformer_forward_sharded, model=model,
-                           n_shards=n, axis_name="data")
+                           n_shards=n, axis_name="data",
+                           backend=backend)
     if B > 1:
         fn = jax.vmap(fn, in_axes=(None, 0))
         specs = (P(), P(None, "data", None, None))
@@ -429,6 +527,7 @@ def run_uformer_spatially_sharded(params, img, mesh: Mesh, model, *,
     sharded = shard_map(
         fn, mesh=mesh, in_specs=specs,
         out_specs=specs[1],
+        check_vma=False,  # pallas_call inside needs vma checks off
     )
     imgs = img if B > 1 else img[0]
     imgs = jax.device_put(imgs, NamedSharding(mesh, specs[1]))
