@@ -13,6 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the jnp reference must use true f32 matmuls — the TPU default is a
+# single bf16 pass (~1e-2 error), which would drown the comparison
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def main():
     from uformer_tpu.ops.pallas.attention_image import (

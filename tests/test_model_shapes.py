@@ -194,3 +194,34 @@ def test_cast_weights_inference_parity():
             assert leaf.dtype == jnp.bfloat16, (path, leaf.dtype)
         else:
             assert leaf.dtype == jnp.float32, (path, leaf.dtype)
+
+
+def test_train_mode_keeps_bf16_residual_stream():
+    """Stochastic-depth rates must not promote the bf16 residual stream:
+    an np.float64 rate inside DropPath silently upcast every stage with
+    rate > 0 to f32 (2-3x slower fused kernels — found round 4 via
+    per-instance kernel profiling). eval_shape-only: no compute."""
+    from uformer_tpu.models import Uformer
+    from uformer_tpu.utils import init_params_fast
+
+    model = Uformer(img_size=32, embed_dim=8, depths=(1,) * 9,
+                    num_heads=(1, 2, 4, 8, 8, 8, 4, 2, 1), win_size=2,
+                    modulator=True, drop_path_rate=0.1,
+                    dtype=jnp.bfloat16, attn_backend="jnp")
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = jax.eval_shape(lambda: init_params_fast(model, x))
+
+    def f(p, key):
+        _, st = model.apply(p, x, deterministic=False,
+                            rngs={"dropout": key},
+                            capture_intermediates=True)
+        return st["intermediates"]
+
+    inter = jax.eval_shape(f, params, jax.random.PRNGKey(0))
+    bad = []
+    for name in [f"encoderlayer_{k}" for k in range(4)] + ["conv"] + \
+            [f"decoderlayer_{k}" for k in range(4)]:
+        leaf = inter[name]["__call__"][0]
+        if leaf.dtype != jnp.bfloat16:
+            bad.append((name, str(leaf.dtype)))
+    assert not bad, f"promoted stages: {bad}"

@@ -66,7 +66,11 @@ class DropPath(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if self.rate == 0.0 or deterministic:
             return x
-        keep = 1.0 - self.rate
+        # keep must stay a WEAK-typed Python float: a np.float64 rate
+        # (e.g. from an np.linspace schedule) would promote the whole
+        # residual stream bf16 -> f32 here — measured 2-3x slower Pallas
+        # kernels for every block downstream (f32 DMA + HIGHEST matmuls)
+        keep = 1.0 - float(self.rate)
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
@@ -469,7 +473,7 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x, attn_kv=None, mask=None, deterministic: bool = True,
                  geometry=None, modulator=None, ln_params=None,
-                 image_mode: bool = False):
+                 image_mode: bool = False, image_residual: bool = True):
         """geometry: optional static (H, W, shift) enabling the fused Pallas
         kernels with the SW-MSA shift mask computed inline (mask must then
         be None — user input-masks take the unfused path). `modulator` is
@@ -478,9 +482,11 @@ class WindowAttention(nn.Module):
 
         image_mode: x is the raw (B, H, W, C) block input; the whole
         LN -> shift -> partition -> attention -> reverse -> unshift ->
-        residual sub-block runs as ONE image-layout Pallas kernel
-        (ops.pallas.attention_image) and the RESIDUAL-ADDED image is
-        returned. Caller guarantees win == 8 and a lane-aligned C."""
+        [residual] sub-block runs as ONE image-layout Pallas kernel
+        (ops.pallas.attention_image). image_residual=False returns just
+        the attention branch in image layout (training blocks with active
+        DropPath scale the branch outside). Caller guarantees win == 8
+        and a lane-aligned C."""
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
         wh, ww = self.win_size
@@ -512,7 +518,7 @@ class WindowAttention(nn.Module):
                 wo.astype(x.dtype), bo,
                 bias, win=wh, shift=shift, scale=float(scale),
                 num_heads=self.num_heads, has_ln=ln_params is not None,
-                residual=True,
+                residual=image_residual,
                 interpret=jax.default_backend() != "tpu")
 
         Bw, N, C = x.shape
@@ -753,18 +759,36 @@ class LeWinBlock(nn.Module):
                      and (shift % (128 // self.dim) == 0)
                      and _os.environ.get("UFORMER_TPU_PACKED_ATTN",
                                          "1") != "0")
-        use_image = (fused and deterministic and win == 8
-                     and (self.dim % 128 == 0 or narrow_ok))
+        # Training (deterministic=False) may use the image kernel too when
+        # proj-dropout is off (the reference recipe): the forward is
+        # glue-free and the backward re-windows in XLA + runs the fused
+        # windowed Pallas bwd (attention_image._ad_factory). Narrow-C
+        # stages keep the windowed path in training — their packed
+        # backward doesn't support folded LN.
+        train_image_ok = (self.drop == 0.0 and self.dim % 128 == 0)
+        use_image = (fused and win == 8
+                     and (deterministic or train_image_ok)
+                     and (self.dim % 128 == 0
+                          or (narrow_ok and deterministic)))
         if use_image:
             ln1 = _LNParams(self.dim, name="norm1")()
-            x = WindowAttention(
+            # active DropPath scales the branch, so the residual stays
+            # outside the kernel for those blocks
+            img_res = deterministic or self.drop_path == 0.0
+            y = WindowAttention(
                 dim=self.dim, win_size=(win, win), num_heads=self.num_heads,
                 token_projection=self.token_projection,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 attn_drop=self.attn_drop, proj_drop=self.drop,
                 backend=self.attn_backend, dtype=self.dtype, name="attn",
-            )(x, deterministic=True, geometry=(H, W, shift), modulator=mod,
-              ln_params=ln1, image_mode=True)
+            )(x, deterministic=deterministic, geometry=(H, W, shift),
+              modulator=mod, ln_params=ln1, image_mode=True,
+              image_residual=img_res)
+            if img_res:
+                x = y
+            else:
+                x = x + DropPath(self.drop_path, name="drop_path1")(
+                    y, deterministic=deterministic)
         else:
             shortcut = x
             # LN folding into the windowed kernel measured slower than

@@ -55,8 +55,13 @@ class Uformer(nn.Module):
         """Reference model.py:1093-1095: per-block stochastic depth rates."""
         depths = list(self.depths)
         n_enc = sum(depths[:4])
-        enc_dpr = list(np.linspace(0, self.drop_path_rate, n_enc))
-        conv_dpr = [self.drop_path_rate] * depths[4]
+        # Python floats, NOT np.float64: a strongly-typed numpy scalar
+        # rate inside DropPath promotes the bf16 residual stream to f32
+        # for every block with rate > 0 (found via per-instance kernel
+        # profiling: the f32 stages' Pallas kernels ran 2-3x slower)
+        enc_dpr = [float(v)
+                   for v in np.linspace(0, self.drop_path_rate, n_enc)]
+        conv_dpr = [float(self.drop_path_rate)] * depths[4]
         dec_dpr = enc_dpr[::-1]
         return enc_dpr, conv_dpr, dec_dpr
 

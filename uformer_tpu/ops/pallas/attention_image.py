@@ -261,7 +261,7 @@ def _make_packed_kernel(R, H, W, C, p, nH, D, g, scale, shift, has_mod,
     f32 = jnp.float32
 
     from uformer_tpu.ops.pallas.leff import _packed_helpers
-    _, ln_apply, _, _ = _packed_helpers(Wp, CP, CP, p, has_ln, out_dtype)
+    _, ln_apply, _, _, _ = _packed_helpers(Wp, CP, CP, p, has_ln, out_dtype)
 
     def winchain_p(rows8):
         y = rows8.reshape(8, W8, wp8, CP).transpose(1, 0, 2, 3)
@@ -480,6 +480,40 @@ def _ad_factory(win, shift, scale, num_heads, has_ln, residual, interpret):
         return f(*args), args
 
     def bwd(res, g):
+        x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias = res
+        if jax.default_backend() == "tpu" and not interpret:
+            # Hybrid backward: re-window x and g with XLA glue (the same
+            # transposes the unfused forward pays), then one fused
+            # windowed Pallas bwd kernel (attention_block.py) — the image
+            # kernel itself needs no backward. This is what lets the
+            # glue-free image forward run under training.
+            from uformer_tpu.ops.pallas.attention_block import (
+                fused_attention_block_bwd,
+            )
+            from uformer_tpu.ops.window import (
+                cyclic_shift,
+                cyclic_unshift,
+                window_partition,
+                window_reverse,
+            )
+
+            B, H, W, C = x.shape
+            xw = window_partition(cyclic_shift(x, shift), win)
+            gw = window_partition(cyclic_shift(g, shift), win)
+            (dxw, dmod, dls, dlb, dwq, dbq, dwkv, dbkv, dwo, dbo,
+             dbias) = fused_attention_block_bwd(
+                xw, gw.astype(xw.dtype), mod, ln_s, ln_b, wq, bq, wkv,
+                bkv, wo, bo, bias, win=win, shift=shift, H=H, W=W,
+                scale=scale, num_heads=num_heads, has_ln=has_ln,
+                has_mod=True, packed=False)
+            dx = cyclic_unshift(window_reverse(dxw, win, H, W), shift)
+            if residual:
+                dx = dx + g.astype(dx.dtype)
+            cast = lambda d, v: d.astype(v.dtype)  # noqa: E731
+            return (cast(dx, x), cast(dmod, mod), cast(dls, ln_s),
+                    cast(dlb, ln_b), cast(dwq, wq), cast(dbq, bq),
+                    cast(dwkv, wkv), cast(dbkv, bkv), cast(dwo, wo),
+                    cast(dbo, bo), cast(dbias, bias))
         _, vjp = jax.vjp(
             lambda *a: attention_image_reference(
                 *a, has_ln=has_ln, residual=residual, **kw),
@@ -493,7 +527,9 @@ def _ad_factory(win, shift, scale, num_heads, has_ln, residual, interpret):
 def fused_attention_image_ad(x, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo,
                              bias, *, win, shift, scale, num_heads,
                              has_ln=True, residual=True, interpret=False):
-    """Differentiable wrapper: Pallas forward, reference-jnp VJP."""
+    """Differentiable wrapper: Pallas image-layout forward; backward =
+    windowed Pallas bwd kernel behind XLA re-windowing glue on TPU
+    (reference-jnp VJP elsewhere)."""
     f = _ad_factory(win, shift, float(scale), num_heads, has_ln, residual,
                     interpret)
     if mod is None:
