@@ -113,8 +113,34 @@ def bench_inference():
         "p50_image_latency_ms": round(p50 * 1e3 / BATCH, 2),
         "mps": BATCH * SIZE * SIZE / 1e6 / p50,
         "compile_s": round(compile_s, 1),
+        "_cache_dir": jax.config.jax_compilation_cache_dir,
         "dtype": str(getattr(dtype, "__name__", dtype)),
     }
+
+
+def bench_warm_start(cache_dir: str):
+    """First-call latency with a POPULATED persistent XLA cache — the
+    deploy-restart number (cold `compile_s` is paid once per cache
+    lifetime; this is what every later process start costs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uformer_tpu import get_arch
+    from uformer_tpu.utils import cast_weights, init_params_fast
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = get_arch({"arch": "Uformer_B", "train_ps": SIZE, "dtype": dtype})
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (BATCH, SIZE, SIZE, 3))
+        .astype(np.float32))
+    params = init_params_fast(model, x)
+    if dtype == jnp.bfloat16:
+        params = cast_weights(params, dtype)
+    fwd = jax.jit(lambda p, z: jnp.clip(model.apply(p, z), 0.0, 1.0))
+    t0 = time.perf_counter()
+    _ = float(fwd(params, x)[0, 0, 0, 0])
+    return {"compile_warm_s": round(time.perf_counter() - t0, 1)}
 
 
 def bench_breakdown():
@@ -294,9 +320,15 @@ def _device_preflight(timeout_s: int = 180) -> bool:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["all", "infer", "train", "aux"],
+    ap.add_argument("--mode", choices=["all", "infer", "train", "aux",
+                                       "warm"],
                     default="all")
+    ap.add_argument("--cache-dir", default=None)
     args = ap.parse_args()
+
+    if args.mode == "warm":
+        print("WARM_RESULT " + json.dumps(bench_warm_start(args.cache_dir)))
+        return
 
     if args.mode in ("all", "infer") and not _device_preflight():
         # fail fast with an honest JSON line instead of hanging the driver
@@ -324,6 +356,23 @@ def main():
     import jax
 
     inf = bench_inference()
+    cache_dir = inf.pop("_cache_dir", None)
+    if cache_dir:
+        # warm-start probe in a fresh process against the cache the cold
+        # compile just populated (deploy-restart latency)
+        try:
+            env = {k: v for k, v in os.environ.items()
+                   if k != "UFORMER_TPU_NO_CACHE"}
+            env["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mode",
+                 "warm", "--cache-dir", cache_dir],
+                capture_output=True, text=True, timeout=600, env=env)
+            for line in proc.stdout.splitlines():
+                if line.startswith("WARM_RESULT "):
+                    inf.update(json.loads(line[len("WARM_RESULT "):]))
+        except (subprocess.TimeoutExpired, OSError, ValueError):
+            pass
     try:
         inf.update(bench_loader())
     except Exception:

@@ -9,8 +9,15 @@ cross-process agreement.
 Usage: python multihost_worker.py <coordinator> <num_procs> <proc_id>
 """
 
+import faulthandler
 import os
+import signal
 import sys
+
+# debugging aid for distributed hangs: `kill -USR1 <pid>` dumps all
+# Python thread stacks to stderr (captured by the parent test)
+faulthandler.register(signal.SIGUSR1, all_threads=True)
+faulthandler.dump_traceback_later(240, exit=False)
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=2")
@@ -81,8 +88,14 @@ class SyntheticPairs:
 
 def main():
     tmp = sys.argv[4]
+    # UNet, not Uformer: this test proves the multi-process DATA PLANE
+    # and trainer protocol (sharded loading, global-batch assembly,
+    # collective-free init/save), which are model-agnostic. The conv
+    # UNet compiles in seconds; an 18-block Uformer train step took
+    # XLA:CPU minutes PER PROCESS on 1-core CI hosts (2 processes
+    # compile serially there -> spurious 600 s timeouts).
     opt = Options(
-        arch="Uformer", embed_dim=8, win_size=2, train_ps=32, batch_size=4,
+        arch="UNet", embed_dim=8, win_size=2, train_ps=32, batch_size=4,
         nepoch=1, dtype="float32", save_dir=tmp, mode="denoising",
         warmup=False, checkpoint=1, workers=1, mesh_model=1,
         attn_backend="jnp", pretrain_weights="",

@@ -49,4 +49,23 @@ def shard_batch(mesh: Mesh, batch):
 
 def replicate(mesh: Mesh, tree):
     s = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+    def put(x):
+        # Multi-process: `device_put` with a global sharding runs a guard
+        # collective per leaf (dispatch.py device_put -> assert_equal ->
+        # process_allgather). That collective builds a FRESH gloo/NCCL
+        # clique whose handshake has a hard ~30 s deadline — any >30 s
+        # compile skew between processes (common: independent jit
+        # compiles) deadlocks the whole job. Every caller passes
+        # host-identical values (same-seed init, restored checkpoints),
+        # so build the global replicated array from local per-device
+        # copies directly — no collective at all.
+        x = np.asarray(x)
+        local = [d for d in mesh.devices.flat
+                 if d.process_index == jax.process_index()]
+        return jax.make_array_from_single_device_arrays(
+            x.shape, s, [jax.device_put(x, d) for d in local])
+
+    return jax.tree_util.tree_map(put, tree)

@@ -275,16 +275,28 @@ class Trainer:
     def _save(self, name: str, epoch: int, state: TrainState,
               async_save: bool = False):
         """best/latest saves are async (the step loop resumes after the
-        D2H copy); epoch-N/final stay sync. Multi-host: allgather to host
-        numpy on every process (a collective), write on process 0."""
+        D2H copy); epoch-N/final stay sync. Multi-host: gather to host
+        numpy, then EVERY process calls the orbax save — orbax
+        coordinates internally (primary host writes, global barriers at
+        start/commit). A process-0-only save would deadlock: orbax's
+        barrier would wait for processes that never entered save."""
         params, opt_state = state.params, state.opt_state
         if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+            from jax.sharding import NamedSharding, PartitionSpec
 
-            params, opt_state = multihost_utils.process_allgather(
-                (params, opt_state))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            gather = jax.jit(lambda t: t, out_shardings=rep)
+
+            def fetch(x):
+                # replicate (a GSPMD all-gather, run on every process),
+                # then read the local copy; np.asarray works only on
+                # fully-replicated global arrays
+                if not x.is_fully_replicated:
+                    x = gather(x)
+                return np.asarray(x)
+
+            params, opt_state = jax.tree_util.tree_map(
+                fetch, (params, opt_state))
             async_save = False
-            if not self.is_main:
-                return
         save_checkpoint(self.model_dir, name, epoch, params, opt_state,
                         step=int(state.step), async_save=async_save)

@@ -27,23 +27,48 @@ def init_params_fast(model, *args, rng=None, **kwargs):
     paths = [p for p, _ in paths_leaves]
     leaf_shapes = [l for _, l in paths_leaves]
 
+    # classify leaves up front; random leaves are filled by slicing ONE
+    # flat draw per distribution family. The per-leaf version (a
+    # truncated_normal subgraph for each of the ~500 leaves) took XLA:CPU
+    # minutes to compile on small hosts — one draw + static slices
+    # compiles in seconds and runs faster too.
+    kinds, sizes = [], []
+    for path, leaf in zip(paths, leaf_shapes):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("bias", "dwconv_bias", "depthwise_bias"):
+            kinds.append("zeros")
+        elif name == "scale":
+            kinds.append("ones")
+        elif name in ("modulator", "cross_modulator"):
+            kinds.append("normal")
+        else:
+            kinds.append("tn")
+        sizes.append(int(np.prod(leaf.shape)) if leaf.shape else 1)
+    tn_total = sum(s for k, s in zip(kinds, sizes) if k == "tn")
+    nm_total = sum(s for k, s in zip(kinds, sizes) if k == "normal")
+
     def fill(key):
-        keys = jax.random.split(key, len(leaf_shapes))
+        k_tn, k_nm = jax.random.split(key)
+        flat_tn = jax.random.truncated_normal(
+            k_tn, -2.0, 2.0, (max(tn_total, 1),), jnp.float32) * 0.02
+        flat_nm = (jax.random.normal(k_nm, (nm_total,), jnp.float32)
+                   if nm_total else None)
+        off_tn = off_nm = 0
         leaves = []
-        for i, (path, leaf) in enumerate(zip(paths, leaf_shapes)):
-            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        for kind, size, leaf in zip(kinds, sizes, leaf_shapes):
             shape, dtype = leaf.shape, leaf.dtype
-            if name in ("bias", "dwconv_bias", "depthwise_bias"):
-                arr = jnp.zeros(shape, dtype)
-            elif name == "scale":
-                arr = jnp.ones(shape, dtype)
-            elif name in ("modulator", "cross_modulator"):
-                arr = jax.random.normal(keys[i], shape, dtype)
+            if kind == "zeros":
+                leaves.append(jnp.zeros(shape, dtype))
+            elif kind == "ones":
+                leaves.append(jnp.ones(shape, dtype))
+            elif kind == "normal":
+                leaves.append(flat_nm[off_nm:off_nm + size]
+                              .reshape(shape).astype(dtype))
+                off_nm += size
             else:
-                arr = jax.random.truncated_normal(
-                    keys[i], -2.0, 2.0, shape, jnp.float32
-                ).astype(dtype) * 0.02
-            leaves.append(arr)
+                leaves.append(flat_tn[off_tn:off_tn + size]
+                              .reshape(shape).astype(dtype))
+                off_tn += size
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     return jax.jit(fill)(rng)
