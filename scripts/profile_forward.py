@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--arch", default="Uformer_B")
+    ap.add_argument("--instances", action="store_true",
+                    help="per-instance op names instead of families")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +58,8 @@ def main():
             out = fwd(params, x)
         out.block_until_ready()
         jax.profiler.stop_trace()
-        groups = summarize_trace(d, top=args.top)
+        groups = summarize_trace(d, top=args.top,
+                                 instances=args.instances)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

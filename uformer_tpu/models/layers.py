@@ -940,9 +940,14 @@ class BasicLayer(nn.Module):
         Twin = (H // 8) * (W // 8) if H % 8 == 0 and W % 8 == 0 else 0
         gpar = 2 if Twin % 2 == 0 else 1
         sm_it = 2 if self.dtype == jnp.bfloat16 else 4
+        # il: the stage kernel's 2-image MXU/VPU interleave (stage.py
+        # fused_stage auto rule) — doubles the hidden scratch and the
+        # double-buffered I/O windows
+        il = 2 if (C <= 256 and Twin >= 64) else 1
         fixed = (self.num_heads * Twin * 4096 * gpar * sm_it   # smask
-                 + (H + 2) * (W + 2) * int(C * self.mlp_ratio) * itemsize
-                 + 4 * H * W * C * itemsize)  # in+out windows, 2-level
+                 + il * (H + 2) * (W + 2) * int(C * self.mlp_ratio)
+                 * itemsize
+                 + 4 * il * H * W * C * itemsize)  # in+out, 2-level
         # Twin <= 64: at T = 256 windows (128² stages) the whole-image
         # attention temporaries exceed Mosaic's register budget (~84 MB
         # of spill slots, measured) regardless of batch chunking — those
@@ -952,8 +957,11 @@ class BasicLayer(nn.Module):
                 and fixed + H * W * C * itemsize <= _MEGA_VMEM_TOTAL_MB
                 * 2**20):
             bc = B
+            # bc must divide B and (above 1) match the interleave pair
+            # granularity; bc == 1 stays legal — fused_stage then runs
+            # ileave=1, which needs strictly less VMEM than accounted
             while bc > 1 and (
-                    B % bc or bc * H * W * C * itemsize > cap
+                    B % bc or bc % il or bc * H * W * C * itemsize > cap
                     or fixed + bc * H * W * C * itemsize
                     > _MEGA_VMEM_TOTAL_MB * 2**20):
                 bc -= 1

@@ -46,8 +46,17 @@ from uformer_tpu.ops.pallas.leff import _gelu
 
 @functools.lru_cache(maxsize=None)
 def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
-                       has_mod, out_dtype, parts="both", dw_bf16=False):
-    """One kernel per stage geometry. win == 8, C % 128 == 0 (on TPU)."""
+                       has_mod, out_dtype, parts="both", dw_bf16=False,
+                       ileave=1):
+    """One kernel per stage geometry. win == 8, C % 128 == 0 (on TPU).
+
+    `ileave`: images processed per grid step. The per-image phase chain
+    is strictly serial (LN -> proj -> bmm -> softmax -> ... -> gelu),
+    so MXU sits idle through every VPU phase and vice versa; with two
+    INDEPENDENT images in flight the VLIW scheduler overlaps one
+    image's matmuls with the other's vector phases. Measured (v5e,
+    bs8@256² stage geometries): dec1 7.26 -> ~4.6 ms, enc2 4.39 ->
+    ~3.1 ms against a 4.36/1.13 ms MXU floor."""
     W8 = W // 8
     H8 = H // 8
     T = H8 * W8          # windows per image
@@ -66,9 +75,12 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
         return y.reshape(8, W, C)
 
     def ln(img, s_ref, b_ref):
+        # one pass over the data: var = E[x^2] - mu^2 (jnp.var would
+        # re-read x to form (x - mu)^2)
         xf = img.astype(f32)
         mu = xf.mean(-1, keepdims=True)
-        var = xf.var(-1, keepdims=True)
+        m2 = (xf * xf).mean(-1, keepdims=True)
+        var = m2 - mu * mu
         return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
                 * s_ref[0].astype(f32)
                 + b_ref[0].astype(f32)).astype(img.dtype)
@@ -82,11 +94,11 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
 
         @pl.when(j == 0)
         def _load():
-            xs_ref[b] = x_ref[0]
+            for u in range(ileave):
+                xs_ref[ileave * b + u] = x_ref[u]
 
-        xcur = xs_ref[b]  # (H, W, C)
         prec = (jax.lax.Precision.HIGHEST
-                if xcur.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+                if out_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
         if use_shift:
             shifted = (j % 2) == 1
         else:
@@ -121,22 +133,27 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                     smask_ref[h] = (bias_h[None] + smask) \
                         .astype(smask_ref.dtype)
 
-        # ---------- attention sub-block: x += Proj(Attn(LN1(x))) ----------
+        # ---------- the `ileave` images' chains are independent: trace
+        # them phase-interleaved so the scheduler overlaps MXU and VPU
+        xcurs = [xs_ref[ileave * b + u] for u in range(ileave)]
         if parts in ("both", "attn"):
-            xcur = attn_part(xcur, shifted, prec, ln1_s_ref, ln1_b_ref,
-                             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-                             bv_ref, wo_ref, bo_ref, bias_ref, mod_ref,
-                             smask_ref)
+            xcurs = [attn_part(xc, shifted, prec, ln1_s_ref, ln1_b_ref,
+                               wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                               bv_ref, wo_ref, bo_ref, bias_ref, mod_ref,
+                               smask_ref) for xc in xcurs]
         if parts in ("both", "leff"):
-            xcur = leff_part(xcur, prec, cheap, ln2_s_ref, ln2_b_ref,
-                             w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
-                             b2_ref, hid_ref)
+            xcurs = [leff_part(xc, prec, cheap, ln2_s_ref, ln2_b_ref,
+                               w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
+                               b2_ref, hid_ref, u)
+                     for u, xc in enumerate(xcurs)]
 
-        xs_ref[b] = xcur
+        for u in range(ileave):
+            xs_ref[ileave * b + u] = xcurs[u]
 
         @pl.when(j == n - 1)
         def _store():
-            o_ref[0] = xcur
+            for u in range(ileave):
+                o_ref[u] = xcurs[u]
 
     def attn_part(xcur, shifted, prec, ln1_s_ref, ln1_b_ref, wq_ref,
                   bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
@@ -221,7 +238,11 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
 
     # ---------- LeFF sub-block: x += L2(g(DW(g(L1(LN2(x)))))) ----------
     def leff_part(xcur, prec, cheap, ln2_s_ref, ln2_b_ref, w1_ref, b1_ref,
-                  wd_ref, bd_ref, w2_ref, b2_ref, hid_ref):
+                  wd_ref, bd_ref, w2_ref, b2_ref, hid_ref, u=0):
+        # each interleaved image gets its own (H+2)-row slab of the
+        # hidden scratch — sharing one slab would serialize the chains
+        # through a write-after-read hazard
+        r0 = u * (H + 2)
         tok2 = ln(xcur, ln2_s_ref, ln2_b_ref).reshape(H * W, C)
         hcore = jax.lax.dot_general(
             tok2, w1_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -230,9 +251,10 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
             .astype(xcur.dtype).reshape(H, W, Ch)
         zrow = jnp.zeros((1, W + 2, Ch), xcur.dtype)
         zcol = jnp.zeros((H, 1, Ch), xcur.dtype)
-        hid_ref[0:1] = zrow
-        hid_ref[H + 1:H + 2] = zrow
-        hid_ref[1:H + 1] = jnp.concatenate([zcol, hcore, zcol], axis=1)
+        hid_ref[r0:r0 + 1] = zrow
+        hid_ref[r0 + H + 1:r0 + H + 2] = zrow
+        hid_ref[r0 + 1:r0 + H + 1] = jnp.concatenate(
+            [zcol, hcore, zcol], axis=1)
         # dw_bf16: accumulate the 9 taps in the activation dtype (one
         # mul+add per tap instead of convert+mul+add in f32) — a VPU-pass
         # knob for the bf16 serving path; worst-case 9-tap bf16
@@ -241,7 +263,7 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
         acc_dt = xcur.dtype if (dw_bf16 and cheap) else f32
         acc = jnp.zeros((H, W, Ch), acc_dt)
         for dy in range(3):
-            rows3 = hid_ref[dy:dy + H]
+            rows3 = hid_ref[r0 + dy:r0 + dy + H]
             for dx in range(3):
                 acc += rows3[:, dx:dx + W].astype(acc_dt) * \
                     wd_ref[0, dy, dx, :].astype(acc_dt)
@@ -284,9 +306,10 @@ def stage_reference(x, p, *, scale, num_heads, use_shift, has_mod):
 
 @functools.partial(jax.jit, static_argnames=(
     "scale", "num_heads", "use_shift", "has_mod", "interpret", "vmem_mb",
-    "parts", "dw_bf16"))
+    "parts", "dw_bf16", "ileave", "gpar"))
 def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
-                interpret=False, vmem_mb=0, parts="both", dw_bf16=None):
+                interpret=False, vmem_mb=0, parts="both", dw_bf16=None,
+                ileave=0, gpar=0):
     """x: (B, H, W, C); p: dict of per-block-stacked weights:
     ln1_s/ln1_b (n, C), wq (n, C, C), bq (n, C), wk/wv (n, C, C),
     bk/bv (n, C), wo (n, C, C), bo (n, C), bias (n, nH, 64, 64) fp32,
@@ -311,7 +334,13 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         hg -= 1
     nG = nH // hg
     T = (H // 8) * (W // 8)
-    g = 2 if T % 2 == 0 else 1
+    g = gpar or (2 if T % 2 == 0 else 1)
+    if not ileave:
+        # 2-image interleave on the 64² stages only (T == 64, C <= 256):
+        # A/B on v5e bs8 measured enc2 4.27 -> 3.98, dec1 7.36 -> 7.13,
+        # but enc3 (32²) 1.75 -> 1.98 and C=512 risks temporary spill —
+        # the smaller stages keep one image per grid step
+        ileave = 2 if (B % 2 == 0 and C <= 256 and T >= 64) else 1
 
     # per-block vectors carry a dummy sublane axis: a (1, X) block of an
     # (n, X) array violates the TPU (8, 128)-divisible block rule.
@@ -331,7 +360,7 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
 
     kernel = _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g,
                                 float(scale), use_shift, has_mod, x.dtype,
-                                parts, dw_bf16)
+                                parts, dw_bf16, ileave)
 
     def wspec(a):
         shape = (1,) + a.shape[1:]
@@ -339,19 +368,20 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         return pl.BlockSpec(shape, lambda j, b: (j,) + nz,
                             memory_space=pltpu.VMEM)
 
-    in_specs = [pl.BlockSpec((1, H, W, C), lambda j, b: (b, 0, 0, 0),
+    in_specs = [pl.BlockSpec((ileave, H, W, C), lambda j, b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     in_specs += [wspec(a) for a in args[1:]]
     return pl.pallas_call(
         kernel,
-        grid=(n, B),
+        grid=(n, B // ileave),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H, W, C), lambda j, b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((ileave, H, W, C),
+                               lambda j, b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((B, H, W, C), x.dtype),
-            pltpu.VMEM((H + 2, W + 2, Ch), x.dtype),
+            pltpu.VMEM((ileave * (H + 2), W + 2, Ch), x.dtype),
             # combined bias+mask: bf16 on the bf16 path (logits already
             # carry 2^-8 input noise; halves the largest scratch at 128²)
             pltpu.VMEM((nH, T // g, g * 64, g * 64),

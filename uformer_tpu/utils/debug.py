@@ -48,8 +48,9 @@ def profile(trace_dir: str = "/tmp/uformer_tpu_trace"):
         jax.profiler.stop_trace()
 
 
-def summarize_trace(trace_dir: str, top: int = 20):
-    """Aggregate device op time from the captured trace (ms per family)."""
+def summarize_trace(trace_dir: str, top: int = 20, instances: bool = False):
+    """Aggregate device op time from the captured trace (ms per family;
+    `instances=True` keeps per-instance op names instead)."""
     import collections
     import glob
     import gzip
@@ -71,8 +72,10 @@ def summarize_trace(trace_dir: str, top: int = 20):
             name = e.get("name", "")
             if name.startswith("jit_"):
                 continue
-            fam = re.sub(r"[.\d]+$", "", name)
-            if not fam:  # pure-numeric names are whole-program events,
-                continue  # not ops — counting them double-counts the step
+            fam = name if instances else re.sub(r"[.\d]+$", "", name)
+            if not fam or re.fullmatch(r"[.\d]+", fam):
+                # pure-numeric names are whole-program events, not ops —
+                # counting them double-counts the step
+                continue
             groups[fam] += e.get("dur", 0) / 1e3
     return dict(sorted(groups.items(), key=lambda kv: -kv[1])[:top])
