@@ -43,6 +43,8 @@ STEPS = [
      False),
     ("profile_forward", [sys.executable, "scripts/profile_forward.py"],
      900, False),
+    ("profile_train", [sys.executable, "scripts/profile_train.py"],
+     1500, False),
 ]
 
 
