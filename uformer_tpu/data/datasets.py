@@ -274,6 +274,11 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    if local_range is not None and not drop_last:
+        # a short final batch would give per-host row slices inconsistent
+        # with the global batch (make_array_from_process_local_data shape
+        # mismatch) — multi-host requires drop_last
+        raise ValueError("local_range (multi-host) requires drop_last=True")
     r0, rsz = local_range if local_range is not None else (0, batch_size)
     # datasets with a batched path thread their own decode and draw
     # crop/aug RNG serially — pool-mapping __getitem__ would make the
@@ -311,6 +316,8 @@ def prefetch_to_device(it: Iterator[dict], size: int = 2,
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     stop = object()
     multihost = global_batch is not None and jax.process_count() > 1
+    if global_batch is not None and sharding is None:
+        raise ValueError("global_batch (multi-host) requires a sharding")
 
     def producer():
         try:

@@ -760,12 +760,15 @@ class LeWinBlock(nn.Module):
                      and _os.environ.get("UFORMER_TPU_PACKED_ATTN",
                                          "1") != "0")
         # Training (deterministic=False) may use the image kernel too when
-        # proj-dropout is off (the reference recipe): the forward is
-        # glue-free and the backward re-windows in XLA + runs the fused
-        # windowed Pallas bwd (attention_image._ad_factory). Narrow-C
+        # proj- AND attention-dropout are off (the reference recipe): the
+        # forward is glue-free and the backward re-windows in XLA + runs
+        # the fused windowed Pallas bwd (attention_image._ad_factory).
+        # image_mode applies no attention-probability dropout, so
+        # attn_drop > 0 must fall back to the unfused path. Narrow-C
         # stages keep the windowed path in training — their packed
         # backward doesn't support folded LN.
-        train_image_ok = (self.drop == 0.0 and self.dim % 128 == 0)
+        train_image_ok = (self.drop == 0.0 and self.attn_drop == 0.0
+                          and self.dim % 128 == 0)
         use_image = (fused and win == 8
                      and (deterministic or train_image_ok)
                      and (self.dim % 128 == 0
@@ -941,9 +944,10 @@ class BasicLayer(nn.Module):
         gpar = 2 if Twin % 2 == 0 else 1
         sm_it = 2 if self.dtype == jnp.bfloat16 else 4
         # il: the stage kernel's 2-image MXU/VPU interleave (stage.py
-        # fused_stage auto rule) — doubles the hidden scratch and the
-        # double-buffered I/O windows
-        il = 2 if (C <= 256 and Twin >= 64) else 1
+        # fused_stage auto rule, incl. its B % 2 parity) — doubles the
+        # hidden scratch and the double-buffered I/O windows. Odd B has
+        # no even chunk, so il = 1 keeps bc = B legal.
+        il = 2 if (B % 2 == 0 and C <= 256 and Twin >= 64) else 1
         fixed = (self.num_heads * Twin * 4096 * gpar * sm_it   # smask
                  + il * (H + 2) * (W + 2) * int(C * self.mlp_ratio)
                  * itemsize

@@ -341,6 +341,10 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         # but enc3 (32²) 1.75 -> 1.98 and C=512 risks temporary spill —
         # the smaller stages keep one image per grid step
         ileave = 2 if (B % 2 == 0 and C <= 256 and T >= 64) else 1
+    elif B % ileave:
+        # grid=(n, B // ileave) would silently skip the trailing
+        # B % ileave images — fall back to one image per grid step
+        ileave = 1
 
     # per-block vectors carry a dummy sublane axis: a (1, X) block of an
     # (n, X) array violates the TPU (8, 128)-divisible block rule.

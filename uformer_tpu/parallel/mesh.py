@@ -48,9 +48,37 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a host tree over the whole mesh.
+
+    CALLER CONTRACT (multi-process): every process must pass
+    host-identical leaf values — same-seed init or a checkpoint restored
+    by all processes. The multi-process path builds the global replicated
+    array from per-host local copies WITHOUT any cross-host guard
+    collective (see `put` below for why); divergent inputs would silently
+    produce disagreeing shards. Set UFORMER_TPU_VERIFY_REPLICATE=1 to run
+    a one-scalar checksum allgather that asserts the contract (debug
+    only: it pays one small collective per `replicate` call).
+    """
+    import os
+
     s = replicated_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+    if os.environ.get("UFORMER_TPU_VERIFY_REPLICATE") == "1":
+        import zlib
+
+        from jax.experimental import multihost_utils
+
+        crc = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            crc = zlib.crc32(np.ascontiguousarray(leaf).tobytes(), crc)
+        all_crc = np.asarray(
+            multihost_utils.process_allgather(np.uint32(crc)))
+        if not (all_crc == all_crc[0]).all():
+            raise ValueError(
+                "replicate() caller contract violated: leaf checksums "
+                f"differ across processes: {all_crc.tolist()}")
 
     def put(x):
         # Multi-process: `device_put` with a global sharding runs a guard
