@@ -415,11 +415,18 @@ def main():
 
     emit()  # headline is now un-losable
 
+    # bench_inference() exported UFORMER_TPU_NO_CACHE=1 into our env so
+    # compile_s records a true cold compile; the later stages measure
+    # steady-state numbers, so they get the shared persistent XLA cache
+    # back — a cold train-step compile must not eat the stage budget.
+    sub_env = {k: v for k, v in os.environ.items()
+               if k != "UFORMER_TPU_NO_CACHE"}
+
     if args.mode == "all" and remaining() > 120:
         # training is the most important extra — run it right after the
         # headline, before the cheaper stages
         t = min(1200, max(120, remaining() - 120))
-        record.update(_run_sub("train", "TRAIN_RESULT", t))
+        record.update(_run_sub("train", "TRAIN_RESULT", t, env=sub_env))
         emit()
 
     if remaining() > 60:
@@ -443,7 +450,7 @@ def main():
     if (args.mode == "all" and jax.default_backend() == "tpu"
             and remaining() > 120):
         t = min(900, max(120, remaining() - 30))
-        record.update(_run_sub("aux", "AUX_RESULT", t))
+        record.update(_run_sub("aux", "AUX_RESULT", t, env=sub_env))
         emit()
 
 
