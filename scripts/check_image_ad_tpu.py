@@ -31,6 +31,11 @@ def main():
         (2, 16, 16, 128, 4, 0, True),
         (2, 16, 24, 128, 4, 4, True),
         (2, 16, 16, 256, 8, 4, False),
+        # narrow-C (packed bwd with folded LN — the training route of
+        # enc0/enc1/dec3 at the reference recipe)
+        (2, 16, 16, 32, 1, 0, True),
+        (2, 16, 16, 32, 1, 4, False),
+        (2, 16, 24, 64, 2, 4, True),
     ]:
         D = C // nH
         scale = D ** -0.5

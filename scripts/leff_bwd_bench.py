@@ -1,94 +1,112 @@
 #!/usr/bin/env python3
-"""Per-stage microbenchmark of fused_leff / fused_leff_bwd at the
-Uformer_B training geometry (bs=32, ps=128) — finds where the backward's
-device time concentrates before optimizing it.
+"""Per-stage fused_leff_bwd (and fwd) microbench at the TRAIN recipe's
+geometries (Uformer_B, ps=128, bs=32): the training profile's dominant
+entry (fused_leff_bwd ~50 ms of 144 ms/step at round 5 HEAD). A/B the
+whole-image 2-image interleave with UFORMER_TPU_LEFF_ILEAVE=1|2.
 
-NOTE: wall-clock timing via block_until_ready under-reports on the axon
-tunnel device (measured 0.04 ms wall vs 1.67 ms device for one call) —
-every number here comes from a profiler trace instead."""
+Usage: python scripts/leff_bwd_bench.py [--batch 32] [--ps 128]
+"""
 
+from __future__ import annotations
+
+import argparse
 import os
-import shutil
 import sys
-import tempfile
+import time
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# (name, reso@ps128, C) for Uformer_B; depth folded into model-ms
+STAGES = [
+    ("enc0", 128, 32, 1),
+    ("enc1", 64, 64, 2),
+    ("enc2", 32, 128, 8),
+    ("enc3", 16, 256, 8),
+    ("conv", 8, 512, 2),
+    ("dec0", 16, 512, 8),
+    ("dec1", 32, 256, 8),
+    ("dec2", 64, 128, 2),
+    ("dec3", 128, 64, 1),
+]
+
+ITERS = 30
 
 
-def stages(ps=128):
-    # (name, H, C, depth) for Uformer_B at train ps
-    r = ps
-    return [
-        ("enc0", r, 32, 1), ("enc1", r // 2, 64, 2),
-        ("enc2", r // 4, 128, 8), ("enc3", r // 8, 256, 8),
-        ("conv", r // 16, 512, 2),
-        ("dec0", r // 8, 512, 8), ("dec1", r // 4, 256, 8),
-        ("dec2", r // 2, 128, 2), ("dec3", r, 64, 1),
-    ]
+def measure(call, z, ws):
+    import jax
 
+    @jax.jit
+    def loop(z, ws, n):
+        def body(i, z):
+            outs = call(z, ws)
+            # fold dx back in to chain iterations
+            return z * 0.0 + outs[0]
+        return jax.lax.fori_loop(0, n, body, z)
 
-def device_time(fns, iters=10):
-    """Per-call device ms for each named fn, from one profiler trace."""
-    from uformer_tpu.utils.debug import summarize_trace
-
-    outs = [fn() for fn in fns.values()]
-    jax.block_until_ready(outs)
-    d = tempfile.mkdtemp(prefix="leffbench_")
-    try:
-        jax.profiler.start_trace(d)
-        for fn in fns.values():
-            for _ in range(iters):
-                o = fn()
-        jax.block_until_ready(o)
-        jax.profiler.stop_trace()
-        groups = summarize_trace(d, top=100)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return {k: groups.get(k, 0.0) / iters for k in fns}
+    r = loop(z, ws, 1)
+    _ = float(jax.numpy.asarray(r)[0, 0, 0, 0])
+    t1 = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = loop(z, ws, 1)
+        _ = float(jax.numpy.asarray(r)[0, 0, 0, 0])
+        t1 = min(t1, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    r = loop(z, ws, ITERS + 1)
+    _ = float(jax.numpy.asarray(r)[0, 0, 0, 0])
+    t = time.perf_counter() - t0
+    return max(t - t1, 1e-9) / ITERS
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--ps", type=int, default=128)
+    args = ap.parse_args()
+    import jax
+    import jax.numpy as jnp
+
     from uformer_tpu.ops.pallas.leff import fused_leff, fused_leff_bwd
 
-    B = int(os.environ.get("B", 32))
-    ps = int(os.environ.get("PS", 128))
-    dt = jnp.bfloat16
-    rng = np.random.default_rng(0)
-    tot_f = tot_b = tot_b16 = 0.0
-    print(f"{'stage':<6} {'H':>4} {'C':>4} {'d':>2} "
-          f"{'fwd_ms':>8} {'bwd_ms':>8} {'bwd/fwd':>7}  (x depth totals)")
-    for name, H, C, d in stages(ps):
+    B = args.batch
+    il = os.environ.get("UFORMER_TPU_LEFF_ILEAVE", "2")
+    print(f"# leff bwd/fwd per stage, B={B} ps={args.ps} ILEAVE={il}",
+          flush=True)
+    tot_b = tot_f = 0.0
+    for name, reso, C, depth in STAGES:
+        reso = reso * args.ps // 128
         Ch = 4 * C
-        x = jnp.asarray(rng.standard_normal((B, H, H, C)), dt)
-        dy = jnp.asarray(rng.standard_normal((B, H, H, C)), dt)
-        w1 = jnp.asarray(rng.standard_normal((C, Ch)) * 0.05, dt)
-        b1 = jnp.zeros((Ch,), dt)
-        wd = jnp.asarray(rng.standard_normal((3, 3, Ch)) * 0.2, dt)
-        bd = jnp.zeros((Ch,), dt)
-        w2 = jnp.asarray(rng.standard_normal((Ch, C)) * 0.05, dt)
-        b2 = jnp.zeros((C,), dt)
-        ln_s = jnp.ones((C,), jnp.float32)
-        ln_b = jnp.zeros((C,), jnp.float32)
+        rng = np.random.default_rng(0)
+        r = lambda *s: jnp.asarray(  # noqa: E731
+            rng.normal(size=s).astype(np.float32) * 0.05, jnp.bfloat16)
+        x = jnp.asarray(
+            rng.normal(size=(B, reso, reso, C)).astype(np.float32) * 0.3,
+            jnp.bfloat16)
+        ws = (r(B, reso, reso, C),  # dy
+              r(C, Ch), jnp.zeros((Ch,), jnp.bfloat16), r(3, 3, Ch),
+              jnp.zeros((Ch,), jnp.bfloat16), r(Ch, C),
+              jnp.zeros((C,), jnp.bfloat16),
+              jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32))
 
-        t = device_time({
-            "fused_leff": lambda: fused_leff(
-                x, w1, b1, wd, bd, w2, b2, ln_s, ln_b, residual=True),
-            "fused_leff_bwd": lambda: fused_leff_bwd(
-                x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, residual=True,
-                conv_f32=True),
-        })
-        f, bwd = t["fused_leff"], t["fused_leff_bwd"]
-        tot_f += f * d
-        tot_b += bwd * d
-        print(f"{name:<6} {H:>4} {C:>4} {d:>2} {f:>8.3f} {bwd:>8.3f} "
-              f"{bwd / max(f, 1e-9):>7.2f}  "
-              f"({f * d:7.2f} / {bwd * d:7.2f})",
-              flush=True)
-    print(f"totals: fwd {tot_f:.1f} ms  bwd_f32 {tot_b:.1f} ms")
+        def call_bwd(z, ws):
+            dy, w1, b1, wd, bd, w2, b2, ln_s, ln_b = ws
+            return fused_leff_bwd(z, dy, w1, b1, wd, bd, w2, ln_s, ln_b,
+                                  has_ln=True, residual=True)
+
+        def call_fwd(z, ws):
+            dy, w1, b1, wd, bd, w2, b2, ln_s, ln_b = ws
+            return (fused_leff(z, w1, b1, wd, bd, w2, b2, ln_s=ln_s,
+                               ln_b=ln_b, residual=True),)
+
+        tb = measure(call_bwd, x, ws) * 1e3
+        tf = measure(call_fwd, x, ws) * 1e3
+        tot_b += tb * depth
+        tot_f += tf * depth
+        print(f"{name:6s} C{C:<4d} {reso}² bwd {tb:8.3f} ms  "
+              f"fwd {tf:8.3f} ms  (xdep {depth})", flush=True)
+    print(f"model total: bwd {tot_b:.2f} ms, fwd {tot_f:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -207,6 +207,44 @@ def test_packed_block_fwd_bwd_matches_reference(geom, shift, monkeypatch):
                                    err_msg=f"{name} (C={C}, shift={shift})")
 
 
+@pytest.mark.parametrize("geom", [(32, 1, 16, 16), (64, 2, 16, 24)])
+@pytest.mark.parametrize("shift", [0, 4])
+def test_packed_block_bwd_folded_ln_matches_autodiff(geom, shift):
+    """The packed backward with FOLDED LN (packed-lane LN recompute +
+    VJP, incl. dls/dlb) == jax.grad of the jnp reference — the kernel
+    that lets narrow-C stages run the image-layout path in training."""
+    from uformer_tpu.ops.pallas.attention_block import (
+        fused_attention_block_bwd,
+    )
+
+    C, nH, H, W = geom
+    N = 64
+    Bw = (H // 8) * (W // 8)
+    kw = dict(win=8, shift=shift, H=H, W=W, scale=0.17, num_heads=nH)
+    inp = _inputs(21, Bw, N, C, nH)
+    dy = jnp.asarray(np.random.default_rng(22)
+                     .normal(size=(Bw, N, C)).astype(np.float32))
+
+    def loss(*args):
+        return jnp.sum(attention_block_reference(
+            *args, has_ln=True, **kw) * dy)
+
+    want = jax.grad(loss, argnums=tuple(range(11)))(*inp.values())
+    got = fused_attention_block_bwd(
+        inp["x"], dy, inp["mod"], inp["ln_s"], inp["ln_b"], inp["wq"],
+        inp["bq"], inp["wkv"], inp["bkv"], inp["wo"], inp["bo"],
+        inp["bias"], has_ln=True, has_mod=True, interpret=True,
+        packed=True, **kw)
+    names = ["dx", "dmod", "dls", "dlb", "dwq", "dbq", "dwkv", "dbkv",
+             "dwo", "dbo", "dbias"]
+    for gi, name, w in zip(got, names, want):
+        w = np.asarray(w)
+        g = np.asarray(gi)
+        scale = max(np.abs(w).max(), 1.0)
+        np.testing.assert_allclose(g, w, atol=2e-4 * scale, rtol=2e-4,
+                                   err_msg=f"{name} (C={C}, shift={shift})")
+
+
 def test_packed_block_training_gradients_match_jnp(monkeypatch):
     """End-to-end training-path check: a narrow-C LeWinBlock in
     non-deterministic mode (the train route) with the packed kernels

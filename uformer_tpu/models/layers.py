@@ -765,14 +765,14 @@ class LeWinBlock(nn.Module):
         # the fused windowed Pallas bwd (attention_image._ad_factory).
         # image_mode applies no attention-probability dropout, so
         # attn_drop > 0 must fall back to the unfused path. Narrow-C
-        # stages keep the windowed path in training — their packed
-        # backward doesn't support folded LN.
+        # stages run it too: the packed backward recomputes the folded
+        # LN in packed lanes and emits dls/dlb (attention_block.py
+        # _make_packed_bwd_kernel).
         train_image_ok = (self.drop == 0.0 and self.attn_drop == 0.0
-                          and self.dim % 128 == 0)
+                          and (self.dim % 128 == 0 or narrow_ok))
         use_image = (fused and win == 8
                      and (deterministic or train_image_ok)
-                     and (self.dim % 128 == 0
-                          or (narrow_ok and deterministic)))
+                     and (self.dim % 128 == 0 or narrow_ok))
         if use_image:
             ln1 = _LNParams(self.dim, name="norm1")()
             # active DropPath scales the branch, so the residual stays

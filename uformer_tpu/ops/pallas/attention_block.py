@@ -388,21 +388,31 @@ def _perm_disassemble_kv(k_heads, v_heads, p, T, K, D, nH):
 
 @functools.lru_cache(maxsize=None)
 def _make_packed_bwd_kernel(T, N, C, p, nH, D, win, g, scale, has_mod,
-                            shifted, x_dtype):
+                            has_ln, shifted, x_dtype):
     """Packed twin of :func:`_make_bwd_kernel` (see _make_packed_kernel
     for the layout): recompute per tile in packed lanes, grads emitted in
     KRON space (dwq/dwo (128,128), dwkv (128,256), bias grads per true
     head in PERM order) — the host extracts the true (C, ...) grads by
-    summing diagonal blocks / un-permuting."""
+    summing diagonal blocks / un-permuting.
+
+    has_ln: LN is recomputed in packed lanes (per-pixel group stats via
+    the block-diagonal group-mean matmul, see leff._packed_helpers) and
+    its VJP emitted as dls/dlb in packed lanes (host sums the p slots) —
+    this is what lets the narrow-C stages run the glue-free image-layout
+    forward in TRAINING (layers.py train path)."""
+    from uformer_tpu.ops.pallas.leff import _packed_helpers
+
     K = N // p
     CP = p * C
     P = g * N
     f32 = jnp.float32
+    _, _, ln_stats, group_mean, _ = _packed_helpers(1, CP, CP, p, has_ln,
+                                                    x_dtype)
 
-    def kernel(geom_ref, x_ref, g_ref, mod_ref, wq_ref, bq_ref, wkv_ref,
-               bkv_ref, wo_ref, bo_ref, bias_ref,
+    def kernel(geom_ref, x_ref, g_ref, mod_ref, ln_s_ref, ln_b_ref,
+               wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref, bias_ref,
                dx_ref, dwq_ref, dbq_ref, dwkv_ref, dbkv_ref, dwo_ref,
-               dbo_ref, dbias_ref, dmod_ref):
+               dbo_ref, dbias_ref, dmod_ref, dls_ref, dlb_ref):
         H, W, shift, nW_w, nW = (geom_ref[0], geom_ref[1], geom_ref[2],
                                  geom_ref[3], geom_ref[4])
         t_id = pl.program_id(0)
@@ -410,13 +420,15 @@ def _make_packed_bwd_kernel(T, N, C, p, nH, D, win, g, scale, has_mod,
         @pl.when(t_id == 0)
         def _init():
             for r in (dwq_ref, dbq_ref, dwkv_ref, dbkv_ref, dwo_ref,
-                      dbo_ref, dbias_ref, dmod_ref):
+                      dbo_ref, dbias_ref, dmod_ref, dls_ref, dlb_ref):
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
         gt = g_ref[0].reshape(T * K, CP)
         tok = x_ref[0].reshape(T * K, CP)
         prec = (jax.lax.Precision.HIGHEST
                 if tok.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+        if has_ln:
+            tok, that, rsig = ln_stats(tok, ln_s_ref[:], ln_b_ref[:], prec)
         if has_mod:
             tok = (tok.reshape(T, K, CP)
                    + mod_ref[:][None].astype(tok.dtype)).reshape(T * K, CP)
@@ -538,7 +550,16 @@ def _make_packed_bwd_kernel(T, N, C, p, nH, D, win, g, scale, has_mod,
             preferred_element_type=f32, precision=prec)
         if has_mod:
             dmod_ref[:] += jnp.sum(dtok.reshape(T, K, CP), axis=0)
-        dx_ref[0] = dtok.reshape(T, K, CP).astype(x_dtype)
+        if has_ln:
+            dls_ref[:] += jnp.sum(dtok * that, axis=0).reshape(1, CP)
+            dlb_ref[:] += jnp.sum(dtok, axis=0).reshape(1, CP)
+            dth = dtok * ln_s_ref[:].astype(f32)
+            m1 = group_mean(dth, prec)
+            m2 = group_mean(dth * that, prec)
+            dxv = (dth - m1 - that * m2) * rsig
+        else:
+            dxv = dtok
+        dx_ref[0] = dxv.reshape(T, K, CP).astype(x_dtype)
 
     return kernel
 
@@ -738,10 +759,10 @@ def _make_bwd_kernel(T, N, C, nH, D, win, g, hg, scale, has_mod, has_ln,
     return kernel
 
 
-def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
-                                      bias, *, win, shift, H, W, scale,
-                                      num_heads, has_mod, interpret,
-                                      vmem_mb):
+def _fused_attention_block_bwd_packed(x, g, mod, ln_s, ln_b, wq, bq, wkv,
+                                      bkv, wo, bo, bias, *, win, shift, H,
+                                      W, scale, num_heads, has_mod, has_ln,
+                                      interpret, vmem_mb):
     Bw, N, C = x.shape
     p = 128 // C
     nH = num_heads
@@ -751,6 +772,11 @@ def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
     (xp, mod_p, wq_k, bq_t, wkv_k, bkv_t, wo_k, bo_t, bias_p,
      inv) = _pack_args(x, mod, wq, bq, wkv, bkv, wo, bo, bias, p, C, N)
     gp_in = g.reshape(Bw, K, CP)
+    if ln_s is None:
+        ln_s = jnp.ones((C,), jnp.float32)
+        ln_b = jnp.zeros((C,), jnp.float32)
+    ln_s_t = jnp.tile(ln_s, p).reshape(1, CP)
+    ln_b_t = jnp.tile(ln_b, p).reshape(1, CP)
 
     T = _pick_tile(Bw, C, x.dtype.itemsize,
                    budget=(vmem_mb * 2**20 if vmem_mb else
@@ -760,8 +786,8 @@ def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
     while T % gpair:
         gpair -= 1
     kernel = _make_packed_bwd_kernel(T, N, C, p, nH, D, win, gpair,
-                                     float(scale), has_mod, shift > 0,
-                                     x.dtype)
+                                     float(scale), has_mod, has_ln,
+                                     shift > 0, x.dtype)
     if mod_p is None:
         mod_p = jnp.zeros((K, CP), x.dtype)
     nW_w = W // win
@@ -783,7 +809,7 @@ def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, K, CP), lambda t, geom: (0, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            vmem,                        # mod
+            vmem, vmem, vmem,            # mod, ln_s, ln_b
             vmem, vmem, vmem, vmem,      # wq, bq, wkv, bkv
             vmem, vmem,                  # wo, bo
             vmem,                        # bias
@@ -795,6 +821,7 @@ def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
             const(CP, 2 * CP), const(1, 2 * CP),  # dwkv, dbkv
             const(CP, CP), const(1, CP),          # dwo, dbo
             const(nH, N, N), const(K, CP),        # dbias (perm), dmod
+            const(1, CP), const(1, CP),           # dls, dlb (packed lanes)
         ],
     )
     outs = pl.pallas_call(
@@ -810,6 +837,8 @@ def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
             jax.ShapeDtypeStruct((1, CP), f32),
             jax.ShapeDtypeStruct((nH, N, N), f32),
             jax.ShapeDtypeStruct((K, CP), f32),
+            jax.ShapeDtypeStruct((1, CP), f32),
+            jax.ShapeDtypeStruct((1, CP), f32),
         ],
         interpret=interpret,
         compiler_params=(pltpu.CompilerParams(
@@ -819,9 +848,10 @@ def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
             bytes_accessed=3 * Bw * N * C * x.dtype.itemsize,
             transcendentals=Bw * nH * N * N,
         ),
-    )(geom, xp[None], gp_in[None], mod_p, wq_k, bq_t, wkv_k, bkv_t, wo_k,
-      bo_t, bias_p)
-    (dx, dwq_k, dbq_k, dwkv_k, dbkv_k, dwo_k, dbo_k, dbias_p, dmod_p) = outs
+    )(geom, xp[None], gp_in[None], mod_p, ln_s_t, ln_b_t, wq_k, bq_t,
+      wkv_k, bkv_t, wo_k, bo_t, bias_p)
+    (dx, dwq_k, dbq_k, dwkv_k, dbkv_k, dwo_k, dbo_k, dbias_p, dmod_p,
+     dls_k, dlb_k) = outs
 
     def diag_sum(m, cols):
         return sum(m[i * C:(i + 1) * C, i * cols:(i + 1) * cols]
@@ -835,8 +865,8 @@ def _fused_attention_block_bwd_packed(x, g, mod, wq, bq, wkv, bkv, wo, bo,
     dbo = sum(dbo_k[0, i * C:(i + 1) * C] for i in range(p))
     dbias = dbias_p[:, inv][:, :, inv]
     dmod = dmod_p.reshape(8, 8 // p, p, C).reshape(N, C)
-    dls = jnp.zeros((C,), f32)
-    dlb = jnp.zeros((C,), f32)
+    dls = sum(dls_k[0, i * C:(i + 1) * C] for i in range(p))
+    dlb = sum(dlb_k[0, i * C:(i + 1) * C] for i in range(p))
     return (dx[0].reshape(Bw, N, C), dmod, dls, dlb, dwq, dbq, dwkv,
             dbkv, dwo, dbo, dbias)
 
@@ -855,12 +885,16 @@ def fused_attention_block_bwd(x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo,
     Bw, N, C = x.shape
     nH = num_heads
     D = C // nH
+    # the packed BACKWARD supports folded LN (packed-lane LN recompute +
+    # VJP) — only the packed forward kernel still requires LN outside,
+    # so auto mode here ignores has_ln
     if win == 8 and (packed if packed != "auto"
-                     else _packed_p(C, has_ln)):
+                     else _packed_p(C, False)):
         return _fused_attention_block_bwd_packed(
-            x, g, mod, wq, bq, wkv, bkv, wo, bo, bias, win=win,
-            shift=shift, H=H, W=W, scale=scale, num_heads=nH,
-            has_mod=has_mod, interpret=interpret, vmem_mb=vmem_mb)
+            x, g, mod, ln_s, ln_b, wq, bq, wkv, bkv, wo, bo, bias,
+            win=win, shift=shift, H=H, W=W, scale=scale, num_heads=nH,
+            has_mod=has_mod, has_ln=has_ln, interpret=interpret,
+            vmem_mb=vmem_mb)
     hg = min(nH, max(1, 128 // D))
     while nH % hg:
         hg -= 1

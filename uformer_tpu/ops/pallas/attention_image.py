@@ -486,27 +486,36 @@ def _ad_factory(win, shift, scale, num_heads, has_ln, residual, interpret):
             # transposes the unfused forward pays), then one fused
             # windowed Pallas bwd kernel (attention_block.py) — the image
             # kernel itself needs no backward. This is what lets the
-            # glue-free image forward run under training.
+            # glue-free image forward run under training. Narrow-C
+            # stages (C in {32, 64}) re-window on the full-lane packed
+            # view and take the packed bwd kernel (folded-LN capable).
             from uformer_tpu.ops.pallas.attention_block import (
                 fused_attention_block_bwd,
             )
-            from uformer_tpu.ops.window import (
-                cyclic_shift,
-                cyclic_unshift,
-                window_partition,
-                window_reverse,
-            )
+            from uformer_tpu.ops import window as wops
 
             B, H, W, C = x.shape
-            xw = window_partition(cyclic_shift(x, shift), win)
-            gw = window_partition(cyclic_shift(g, shift), win)
+            p = 128 // C if (C < 128 and 128 % C == 0 and C >= 32) else 1
+            packed = (p > 1 and shift % p == 0 and W % p == 0)
+            if packed:
+                part = lambda v: wops.window_partition_packed(  # noqa: E731
+                    wops.cyclic_shift_packed(v, shift, p), win, p)
+                unpart = lambda v: wops.cyclic_unshift_packed(  # noqa: E731
+                    wops.window_reverse_packed(v, win, H, W, p), shift, p)
+            else:
+                part = lambda v: wops.window_partition(  # noqa: E731
+                    wops.cyclic_shift(v, shift), win)
+                unpart = lambda v: wops.cyclic_unshift(  # noqa: E731
+                    wops.window_reverse(v, win, H, W), shift)
+            xw = part(x)
+            gw = part(g)
             (dxw, dmod, dls, dlb, dwq, dbq, dwkv, dbkv, dwo, dbo,
              dbias) = fused_attention_block_bwd(
                 xw, gw.astype(xw.dtype), mod, ln_s, ln_b, wq, bq, wkv,
                 bkv, wo, bo, bias, win=win, shift=shift, H=H, W=W,
                 scale=scale, num_heads=num_heads, has_ln=has_ln,
-                has_mod=True, packed=False)
-            dx = cyclic_unshift(window_reverse(dxw, win, H, W), shift)
+                has_mod=True, packed=packed)
+            dx = unpart(dxw)
             if residual:
                 dx = dx + g.astype(dx.dtype)
             cast = lambda d, v: d.astype(v.dtype)  # noqa: E731

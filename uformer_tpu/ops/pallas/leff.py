@@ -41,6 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 # inside jit-ed functions and is not part of any jit cache key — reading
 # it per-trace would silently return stale kernels after an env flip.
 _DWCONV_BF16 = os.environ.get("UFORMER_TPU_DWCONV_BF16") == "1"
+# max images traced phase-interleaved per whole-image kernel step (2 =
+# overlap one image's MXU phases with the other's VPU phases; 1 = off,
+# for A/B). Read once at import, like the dwconv knob above.
+_LEFF_ILEAVE = int(os.environ.get("UFORMER_TPU_LEFF_ILEAVE", "2"))
 
 
 def _tap_dtype(x_dtype):
@@ -353,27 +357,38 @@ def _make_kernel(Th: int, H: int, Hp: int, W: int, C: int, Ch: int,
 
 
 def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
-                          p, conv_f32=None):
+                          p, conv_f32=None, ileave=1):
     """Whole-image batch-tiled forward: Bt small images per grid step (an
-    unrolled in-kernel loop sharing one hidden scratch). At 8²-64² stage
-    geometries the row-tiled kernel degenerates to one tiny tile per step
-    and per-step overhead dominates; here a step amortizes it over Bt
-    images and needs no halo logic at all (the conv ring is an in-VMEM
-    zero pad per image)."""
+    unrolled in-kernel loop). At 8²-64² stage geometries the row-tiled
+    kernel degenerates to one tiny tile per step and per-step overhead
+    dominates; here a step amortizes it over Bt images and needs no halo
+    logic at all (the conv ring is an in-VMEM zero pad per image).
+
+    `ileave`: images traced phase-interleaved per loop iteration, each
+    with its own (H+2)-row slab of the hidden scratch — the per-image
+    chain is strictly serial (LN -> matmul -> gelu -> taps -> gelu ->
+    matmul), so one image's MXU phases overlap the other's VPU phases
+    (same rationale as stage.py's 2-image interleave)."""
     cheap = out_dtype == jnp.bfloat16
     f32 = jnp.float32
     acc_dt = (_tap_dtype(out_dtype) if conv_f32 is None
               else (f32 if conv_f32 else out_dtype))
     tap, ln_apply, _, _, shift_fill = _packed_helpers(W, C, Ch, p, has_ln,
                                                       out_dtype)
+    il = ileave
+    Hs = H + 2  # slab rows per in-flight image
 
     def kernel(xm_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, wd_ref, bd_ref,
                w2_ref, b2_ref, o_ref, hid_ref, hidL_ref=None,
                hidR_ref=None):
-        for bi in range(Bt):
+        prec = (jax.lax.Precision.HIGHEST
+                if xm_ref.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+
+        def ph_hidden(bi, u):
+            """LN -> w1 matmul -> gelu -> hidden slab u (+ tap copies)."""
+            r0 = u * Hs
             xi = xm_ref[bi]  # (H, W, C)
-            prec = (jax.lax.Precision.HIGHEST if xi.dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT)
             tok = ln_apply(xi.reshape(H * W, C), ln_s_ref[:], ln_b_ref[:],
                            prec)
             h = jax.lax.dot_general(
@@ -382,25 +397,31 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
             h = _gelu(h + b1_ref[:].astype(f32), cheap=cheap) \
                 .astype(xi.dtype).reshape(H, W, Ch)
             zcol = jnp.zeros((H, 1, Ch), xi.dtype)
-            hid_ref[0:1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
-            hid_ref[1:H + 1] = jnp.concatenate([zcol, h, zcol], axis=1)
-            hid_ref[H0 + 1:H + 2] = jnp.zeros((H - H0 + 1, W + 2, Ch),
-                                              xi.dtype)
+            hid_ref[r0:r0 + 1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+            hid_ref[r0 + 1:r0 + H + 1] = jnp.concatenate(
+                [zcol, h, zcol], axis=1)
+            hid_ref[r0 + H0 + 1:r0 + H + 2] = jnp.zeros(
+                (H - H0 + 1, W + 2, Ch), xi.dtype)
             if hidL_ref is not None:
-                Lv, Rv = shift_fill(hid_ref[:])
-                hidL_ref[:] = Lv
-                hidR_ref[:] = Rv
+                Lv, Rv = shift_fill(hid_ref[r0:r0 + Hs])
+                hidL_ref[r0:r0 + Hs] = Lv
+                hidR_ref[r0:r0 + Hs] = Rv
+
+        def ph_out(bi, u):
+            """taps -> gelu -> w2 matmul -> residual -> output row bi."""
+            r0 = u * Hs
+            xi = xm_ref[bi]
             acc = jnp.zeros((H, W, Ch), acc_dt)
             for dy in range(3):
                 if hidL_ref is not None:
-                    sl = slice(dy, dy + H)
+                    sl = slice(r0 + dy, r0 + dy + H)
                     srcs = (hidL_ref[sl], hid_ref[sl, 1:W + 1],
                             hidR_ref[sl])
                     for dx in range(3):
                         acc += srcs[dx].astype(acc_dt) * \
                             wd_ref[dy, dx, :].astype(acc_dt)
                     continue
-                rows3 = hid_ref[dy:dy + H]
+                rows3 = hid_ref[r0 + dy:r0 + dy + H]
                 for dx in range(3):
                     acc += tap(rows3, dx).astype(acc_dt) * \
                         wd_ref[dy, dx, :].astype(acc_dt)
@@ -415,23 +436,48 @@ def _make_smallimg_kernel(Bt, H0, H, W, C, Ch, has_ln, residual, out_dtype,
                 out = out + xi.astype(f32)
             o_ref[bi] = out.astype(out_dtype)
 
+        for base in range(0, Bt, il):
+            for u in range(il):
+                ph_hidden(base + u, u)
+            for u in range(il):
+                ph_out(base + u, u)
+
     return kernel
 
 
-def _smallimg_bt(B, H, W, C, Ch, itemsize, n_tiles=2, scratch_mb=4, p=1):
+def _smallimg_bt(B, H, W, C, Ch, itemsize, n_tiles=2, scratch_mb=4, p=1,
+                 il=1):
     """Pick a batch tile for whole-image mode, or 0 to use row tiling:
     the per-image hidden scratch must be small and Bt images' I/O tiles
-    must fit comfortably."""
+    must fit comfortably. `il` in-flight interleaved images multiply the
+    scratch and the tile must pair up (bt % il == 0)."""
     scratch = (H + 2) * (W + 2) * max(Ch, 128) * itemsize
     if p > 1:  # the two x-neighbour tap scratches (shift_fill)
         scratch += 2 * (H + 2) * W * max(Ch, 128) * itemsize
-    if scratch > scratch_mb * 2**20:
+    if il * scratch > scratch_mb * 2**20:
         return 0
     per_img = H * W * max(C, 128) * itemsize * n_tiles
     bt = max(1, min(B, (8 * 2**20) // max(per_img, 1)))
-    while B % bt:
+    while B % bt or bt % il:
         bt -= 1
+        if bt == 0:
+            return 0
     return bt
+
+
+def _smallimg_plan(B, H, W, C, Ch, itemsize, n_tiles, scratch_mb, p):
+    """(bt, il): batch tile + phase-interleave width for whole-image mode.
+    Two images in flight when the batch pairs up; the scratch budget is
+    per in-flight image (whole-image eligibility must not shrink when the
+    interleave doubles the slabs — total VMEM stays well under the 50 MB
+    kernel limit)."""
+    if B % 2 == 0 and _LEFF_ILEAVE >= 2:
+        bt = _smallimg_bt(B, H, W, C, Ch, itemsize, n_tiles=n_tiles,
+                          scratch_mb=2 * scratch_mb, p=p, il=2)
+        if bt:
+            return bt, 2
+    return _smallimg_bt(B, H, W, C, Ch, itemsize, n_tiles=n_tiles,
+                        scratch_mb=scratch_mb, p=p, il=1), 1
 
 
 def _pick_th(H: int, W: int, Ch: int, itemsize: int,
@@ -655,16 +701,25 @@ def _make_bwd_kernel(Th, H0, Hp, W, C, Ch, nT, has_ln, residual, x_dtype,
 
 
 def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
-                              x_dtype, p, conv_f32=None):
+                              x_dtype, p, conv_f32=None, ileave=1):
     """Whole-image batch-tiled backward: Bt images per grid step, no halo
     logic (ring zeros per image), fp32 weight-grad accumulators in
-    constant-index output blocks."""
+    constant-index output blocks.
+
+    `ileave`: images traced phase-interleaved per loop iteration, each
+    with its own (H+2)-row slab of the a1/dhc scratches, so one image's
+    MXU phases overlap the other's VPU tap/gelu phases (the weight-grad
+    `+=`s serialize only against each other). h1 is recomputed in phase 3
+    instead of carried — one extra matmul on the idle MXU instead of a
+    (H*W, Ch) fp32 live range spanning two phases per in-flight image."""
     cheap = x_dtype == jnp.bfloat16
     f32 = jnp.float32
     acc_dt = (_tap_dtype(x_dtype) if conv_f32 is None
               else (f32 if conv_f32 else x_dtype))
     tap, _, ln_stats, group_mean, shift_fill = _packed_helpers(
         W, C, Ch, p, has_ln, x_dtype)
+    il = ileave
+    Hs = H + 2
 
     def kernel(xm_ref, dym_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref,
                wd_ref, bd_ref, w2_ref,
@@ -673,6 +728,9 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
                a1eL_ref=None, a1eR_ref=None, dhceL_ref=None,
                dhceR_ref=None):
         packed = a1eL_ref is not None
+        prec = (jax.lax.Precision.HIGHEST
+                if xm_ref.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
 
         def tap3(ref, L_ref, R_ref, r0, rows, ddx):
             if packed:
@@ -686,16 +744,18 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
                       db2_ref, dls_ref, dlb_ref):
                 r[:] = jnp.zeros(r.shape, r.dtype)
 
-        for bi in range(Bt):
-            xi = xm_ref[bi]
-            prec = (jax.lax.Precision.HIGHEST if xi.dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT)
+        def load_dy(bi):
             dyi = dym_ref[bi]
             if H != H0:
                 ri = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
                 dyi = jnp.where(ri < H0, dyi, 0)
+            return dyi
 
-            # phase 1: a1 (post-act) with ring + pad-row zeros
+        def ph1(bi, u):
+            """a1 (post-act) with ring + pad-row zeros -> slab u; carries
+            (tok, that, rsig) for phase 3."""
+            r0 = u * Hs
+            xi = xm_ref[bi]
             tok, that, rsig = ln_stats(xi.reshape(H * W, C), ln_s_ref[:],
                                        ln_b_ref[:], prec)
             h1 = jax.lax.dot_general(
@@ -704,16 +764,22 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
                 + b1_ref[:].astype(f32)
             a1 = _gelu(h1, cheap=cheap).astype(xi.dtype).reshape(H, W, Ch)
             zcol = jnp.zeros((H, 1, Ch), xi.dtype)
-            a1e_ref[0:1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
-            a1e_ref[1:H + 1] = jnp.concatenate([zcol, a1, zcol], axis=1)
-            a1e_ref[H0 + 1:H + 2] = jnp.zeros((H - H0 + 1, W + 2, Ch),
-                                              xi.dtype)
+            a1e_ref[r0:r0 + 1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+            a1e_ref[r0 + 1:r0 + H + 1] = jnp.concatenate(
+                [zcol, a1, zcol], axis=1)
+            a1e_ref[r0 + H0 + 1:r0 + H + 2] = jnp.zeros(
+                (H - H0 + 1, W + 2, Ch), xi.dtype)
             if packed:
-                Lv, Rv = shift_fill(a1e_ref[:])
-                a1eL_ref[:] = Lv
-                a1eR_ref[:] = Rv
+                Lv, Rv = shift_fill(a1e_ref[r0:r0 + Hs])
+                a1eL_ref[r0:r0 + Hs] = Lv
+                a1eR_ref[r0:r0 + Hs] = Rv
+            return tok, that, rsig
 
-            # phase 2: hc -> dhc; dw2/db2/dwd/dbd
+        def ph2(bi, u, dyi):
+            """hc -> dhc -> slab u; dw2/db2/dwd/dbd accumulation."""
+            r0 = u * Hs
+            xi = xm_ref[bi]
+            zcol = jnp.zeros((H, 1, Ch), xi.dtype)
             g2 = jax.lax.dot_general(
                 dyi.reshape(H * W, C), w2_ref[:],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -721,21 +787,22 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
             acc = jnp.zeros((H, W, Ch), acc_dt)
             for ddy in range(3):
                 for ddx in range(3):
-                    acc += tap3(a1e_ref, a1eL_ref, a1eR_ref, ddy, H,
+                    acc += tap3(a1e_ref, a1eL_ref, a1eR_ref, r0 + ddy, H,
                                 ddx).astype(acc_dt) * \
                         wd_ref[ddy, ddx, :].astype(acc_dt)
             hc = acc.astype(f32) + bd_ref[:].astype(f32)
             # gelu(hc) and dgelu(hc) share one erf pass
             a2f, dg = _gelu_and_dgelu(hc, cheap=cheap)
             dhc = dg * g2.reshape(H, W, Ch)
-            dhce_ref[0:1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
-            dhce_ref[1:H + 1] = jnp.concatenate(
+            dhce_ref[r0:r0 + 1] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+            dhce_ref[r0 + 1:r0 + H + 1] = jnp.concatenate(
                 [zcol, dhc.astype(xi.dtype), zcol], axis=1)
-            dhce_ref[H + 1:H + 2] = jnp.zeros((1, W + 2, Ch), xi.dtype)
+            dhce_ref[r0 + H + 1:r0 + H + 2] = jnp.zeros(
+                (1, W + 2, Ch), xi.dtype)
             if packed:
-                Lv, Rv = shift_fill(dhce_ref[:])
-                dhceL_ref[:] = Lv
-                dhceR_ref[:] = Rv
+                Lv, Rv = shift_fill(dhce_ref[r0:r0 + Hs])
+                dhceL_ref[r0:r0 + Hs] = Lv
+                dhceR_ref[r0:r0 + Hs] = Rv
 
             a2 = a2f.astype(xi.dtype)
             dw2_ref[:] += jax.lax.dot_general(
@@ -749,18 +816,25 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
             dhc_t = dhc.astype(acc_dt)
             for ddy in range(3):
                 for ddx in range(3):
-                    a1t = tap3(a1e_ref, a1eL_ref, a1eR_ref, ddy, H,
+                    a1t = tap3(a1e_ref, a1eL_ref, a1eR_ref, r0 + ddy, H,
                                ddx).astype(acc_dt)
                     dwd_ref[ddy, ddx, :] += jnp.sum(
                         (a1t * dhc_t).astype(f32), axis=(0, 1))
 
-            # phase 3: da1 -> dh1 -> dw1/db1/dt -> LN bwd -> dx
+        def ph3(bi, u, dyi, tok, that, rsig):
+            """da1 -> dh1 -> dw1/db1/dt -> LN bwd -> dx (h1 recomputed)."""
+            r0 = u * Hs
+            xi = xm_ref[bi]
             da1 = jnp.zeros((H, W, Ch), acc_dt)
             for ddy in range(3):
                 for ddx in range(3):
-                    da1 += tap3(dhce_ref, dhceL_ref, dhceR_ref, 2 - ddy, H,
-                                2 - ddx).astype(acc_dt) * \
+                    da1 += tap3(dhce_ref, dhceL_ref, dhceR_ref,
+                                r0 + 2 - ddy, H, 2 - ddx).astype(acc_dt) * \
                         wd_ref[ddy, ddx, :].astype(acc_dt)
+            h1 = jax.lax.dot_general(
+                tok, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec) \
+                + b1_ref[:].astype(f32)
             dh1 = da1.reshape(H * W, Ch) * _dgelu(h1, cheap=cheap)
             if H != H0:
                 ro = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
@@ -787,6 +861,15 @@ def _make_smallimg_bwd_kernel(Bt, H0, H, W, C, Ch, has_ln, residual,
             if residual:
                 dxv = dxv + dyi.astype(f32)
             dx_ref[bi] = dxv.astype(xi.dtype)
+
+        for base in range(0, Bt, il):
+            us = list(range(il))
+            dys = [load_dy(base + u) for u in us]
+            st = [ph1(base + u, u) for u in us]
+            for u in us:
+                ph2(base + u, u, dys[u])
+            for u in us:
+                ph3(base + u, u, dys[u], *st[u])
 
     return kernel
 
@@ -834,13 +917,13 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
         dy = jnp.pad(dy, pad)
         H = Hp
     f32 = jnp.float32
-    bt = (_smallimg_bt(B, H, W, C, Ch, x.dtype.itemsize, n_tiles=3,
-                       scratch_mb=6 if p > 1 else 2, p=p)
-          if smallimg else 0)
+    bt, il = (_smallimg_plan(B, H, W, C, Ch, x.dtype.itemsize, 3,
+                             6 if p > 1 else 2, p)
+              if smallimg else (0, 1))
     if bt:
         kernel = _make_smallimg_bwd_kernel(bt, H0, H, W, C, Ch, has_ln,
                                            residual, x.dtype, p,
-                                           conv_f32=conv_f32)
+                                           conv_f32=conv_f32, ileave=il)
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
         def btile():
@@ -874,9 +957,10 @@ def fused_leff_bwd(x, dy, w1, b1, wd, bd, w2, ln_s, ln_b, *,
                 jax.ShapeDtypeStruct((1, C), f32),
                 jax.ShapeDtypeStruct((1, C), f32),
             ],
-            scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Ch), x.dtype),
-                            pltpu.VMEM((H + 2, W + 2, Ch), x.dtype)]
-            + ([pltpu.VMEM((H + 2, W, Ch), x.dtype)] * 4 if p > 1 else []),
+            scratch_shapes=[pltpu.VMEM((il * (H + 2), W + 2, Ch), x.dtype),
+                            pltpu.VMEM((il * (H + 2), W + 2, Ch), x.dtype)]
+            + ([pltpu.VMEM((il * (H + 2), W, Ch), x.dtype)] * 4
+               if p > 1 else []),
             interpret=interpret,
             compiler_params=(pltpu.CompilerParams(
                 vmem_limit_bytes=50 * 2**20) if not interpret else None),
@@ -1091,12 +1175,12 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
         x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
         H = Hp
 
-    bt = (_smallimg_bt(B, H, W, C, Ch, x.dtype.itemsize,
-                       scratch_mb=12 if p > 1 else 4, p=p)
-          if smallimg else 0)
+    bt, il = (_smallimg_plan(B, H, W, C, Ch, x.dtype.itemsize, 2,
+                             12 if p > 1 else 4, p)
+              if smallimg else (0, 1))
     if bt:
         kernel = _make_smallimg_kernel(bt, H0, H, W, C, Ch, has_ln,
-                                       residual, x.dtype, p)
+                                       residual, x.dtype, p, ileave=il)
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kernel,
@@ -1110,8 +1194,9 @@ def fused_leff(x, w1, b1, wd, bd, w2, b2, ln_s=None, ln_b=None, *,
             ],
             out_specs=pl.BlockSpec((bt, H, W, C), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Ch), x.dtype)]
-            + ([pltpu.VMEM((H + 2, W, Ch), x.dtype)] * 2 if p > 1 else []),
+            scratch_shapes=[pltpu.VMEM((il * (H + 2), W + 2, Ch), x.dtype)]
+            + ([pltpu.VMEM((il * (H + 2), W, Ch), x.dtype)] * 2
+               if p > 1 else []),
             out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
             interpret=interpret,
             compiler_params=(pltpu.CompilerParams(
