@@ -40,6 +40,7 @@ def test_uformer_nonsquare_input():
     assert y.shape == (1, 32, 64, 3)
 
 
+@pytest.mark.slow
 def test_uformer_shift_flag_variants():
     for shift_flag in (True, False):
         model = tiny_uformer(shift_flag=shift_flag)

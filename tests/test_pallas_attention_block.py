@@ -245,6 +245,7 @@ def test_packed_block_bwd_folded_ln_matches_autodiff(geom, shift):
                                    err_msg=f"{name} (C={C}, shift={shift})")
 
 
+@pytest.mark.slow
 def test_packed_block_training_gradients_match_jnp(monkeypatch):
     """End-to-end training-path check: a narrow-C LeWinBlock in
     non-deterministic mode (the train route) with the packed kernels

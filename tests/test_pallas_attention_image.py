@@ -50,6 +50,7 @@ def test_image_block_no_mod_no_ln_no_residual():
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_image_block_gradient_matches_reference():
     inp = _inputs(2, 1, 16, 16, 128, 4)
     kw = dict(win=8, shift=4, scale=0.17, num_heads=4, residual=True)

@@ -60,6 +60,7 @@ def test_dwconv3x3_matches_jnp():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_fastleff_model_variant_runs():
     """token_mlp='fastleff' routes LeFF through the Pallas path (interpret
     on CPU) and matches the jnp leff numerically with shared params."""
@@ -110,10 +111,13 @@ def test_dropout_active_leff_routes_to_jnp(monkeypatch):
 
 
 @pytest.mark.parametrize("shape,hidden,has_ln,residual", [
-    ((1, 16, 16, 128), 512, True, True),     # lane-aligned
+    # the two heaviest variants run in the nightly (slow) tier only
+    pytest.param((1, 16, 16, 128), 512, True, True,
+                 marks=pytest.mark.slow),    # lane-aligned
     ((2, 16, 16, 32), 128, True, True),      # packed p=4
     ((1, 24, 16, 64), 256, False, False),    # packed p=2, no LN/residual
-    ((1, 11, 8, 128), 384, True, False),     # odd H (pad path)
+    pytest.param((1, 11, 8, 128), 384, True, False,
+                 marks=pytest.mark.slow),    # odd H (pad path)
 ])
 def test_fused_leff_bwd_matches_autodiff(shape, hidden, has_ln, residual):
     """The fused backward kernel == jax.grad of the jnp reference (fp32)."""

@@ -116,6 +116,7 @@ def test_tiled_inference_sharded_identity():
     np.testing.assert_allclose(out, img, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_lewin_block_pallas_backend():
     """The H-sharded block through the FUSED Pallas kernels (interpret on
     CPU): windowed attention with the shard's global window offset
@@ -137,6 +138,7 @@ def test_sharded_lewin_block_pallas_backend():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_lewin_block_pallas_noshift_edges():
     """No-shift variant: exercises the fused-LeFF edge-row fix on both
     global edges without the attention mask in play."""

@@ -46,6 +46,7 @@ def _max_diff(a, b):
     return float(np.abs(a - b).max())
 
 
+@pytest.mark.slow
 def test_parity_uformer_leff_shift_modulator():
     """Flagship configuration: leff + shift + decoder modulator."""
     kw = dict(img_size=64, embed_dim=8, depths=[2] * 9,
