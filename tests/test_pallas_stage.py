@@ -112,3 +112,26 @@ def test_fused_stage_dw_bf16_variant():
     got = fused_stage(xb, pb, interpret=True, dw_bf16=True, **kw)
     err = np.abs(np.asarray(got, np.float32) - np.asarray(want))
     assert err.max() < 0.05, err.max()
+
+
+def test_fused_stage_diag_softmax_matches_default():
+    """Diagonal-block softmax (the g=2 window pairing computes exp over a
+    (128,128) logits volume whose off-diagonal half is always masked;
+    diag packs the two valid 64x64 blocks into full lane width) must be
+    numerically identical to the default path — same exp inputs, same
+    sums, only the layout differs."""
+    n, B, H, W, C, nH = 3, 2, 16, 24, 128, 4
+    p = _stage_params(7, n, C, nH, 4 * C)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(B, H, W, C))
+        .astype(np.float32) * 0.3)
+    for use_shift in (True, False):
+        kw = dict(scale=(C // nH) ** -0.5, num_heads=nH,
+                  use_shift=use_shift, has_mod=True, interpret=True)
+        a = fused_stage(x, p, diag_softmax=False, **kw)
+        d = fused_stage(x, p, diag_softmax=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(d))
+        want = stage_reference(x, p, scale=kw["scale"], num_heads=nH,
+                               use_shift=use_shift, has_mod=True)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)

@@ -34,6 +34,7 @@ checkpoints are unaffected; stacking is one cheap XLA concat per stage).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,11 +44,19 @@ from jax.experimental.pallas import tpu as pltpu
 from uformer_tpu.ops.pallas.attention_block import _region_ids
 from uformer_tpu.ops.pallas.leff import _gelu
 
+# Diagonal-block softmax for the g == 2 window pairing: the paired
+# (P=128, P=128) logits volume is half masked-off cross-window terms by
+# construction; packing the two valid 64x64 diagonal blocks into a
+# (64, 128) full-lane-width layout halves the softmax exp/mask-add/div
+# volume and the bias+mask scratch. Read once at import (same contract
+# as leff._DWCONV_BF16); fused_stage's diag_softmax arg overrides.
+_DIAG_SM = os.environ.get("UFORMER_TPU_DIAG_SOFTMAX", "0") == "1"
+
 
 @functools.lru_cache(maxsize=None)
 def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                        has_mod, out_dtype, parts="both", dw_bf16=False,
-                       ileave=1):
+                       ileave=1, diag=False):
     """One kernel per stage geometry. win == 8, C % 128 == 0 (on TPU).
 
     `ileave`: images processed per grid step. The per-image phase chain
@@ -55,8 +64,9 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
     so MXU sits idle through every VPU phase and vice versa; with two
     INDEPENDENT images in flight the VLIW scheduler overlaps one
     image's matmuls with the other's vector phases. Measured (v5e,
-    bs8@256² stage geometries): dec1 7.26 -> ~4.6 ms, enc2 4.39 ->
-    ~3.1 ms against a 4.36/1.13 ms MXU floor."""
+    bs8@256² stage geometries): enc2 4.27 -> 3.98 ms, dec1 7.36 ->
+    7.13 ms (enc3 at 32² regressed 1.75 -> 1.98, so the auto rule
+    keeps T >= 64 only)."""
     W8 = W // 8
     H8 = H // 8
     T = H8 * W8          # windows per image
@@ -125,9 +135,21 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                 rid = wloc * 9 + rh * 3 + rw
                 neq = (rid[:, :, None] != rid[:, None, :]).astype(f32)
                 smask = neq * jnp.float32(-100.0)
+                if diag:
+                    # pack the two valid 64x64 diagonal blocks into
+                    # (64, P) full lane width: rows 0-63 of the left
+                    # half-P and rows 64-127 of the right half — the
+                    # right block's columns already sit in lanes 64-127,
+                    # so this is one select, no lane movement
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (T // g, 64, P), 2)
+                    smask = jnp.where(lane < 64, smask[:, 0:64, :],
+                                      smask[:, 64:P, :])
                 for h in range(nH):
                     bias_h = bias_ref[0, h]
-                    if g > 1:
+                    if diag:
+                        bias_h = jnp.concatenate([bias_h] * g, axis=-1)
+                    elif g > 1:
                         bias_h = jnp.concatenate([bias_h] * g, axis=-1)
                         bias_h = jnp.concatenate([bias_h] * g, axis=-2)
                     smask_ref[h] = (bias_h[None] + smask) \
@@ -204,6 +226,38 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                 logits = jax.lax.dot_general(
                     q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=f32, precision=prec)
+                if diag:
+                    # softmax over the packed diagonal blocks only —
+                    # half the exp/add/div volume at full lane width
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (T // g, 64, P), 2)
+                    inA = lane < 64
+                    ld = jnp.where(inA, logits[:, 0:64, :],
+                                   logits[:, 64:P, :]) \
+                        + smask_ref[h].astype(f32)
+                    if cheap:
+                        e = jnp.exp(jnp.minimum(ld, jnp.float32(80.0)))
+                    else:
+                        eA0 = jnp.where(inA, ld, jnp.float32(-1e30))
+                        mA = eA0.max(-1, keepdims=True)
+                        mB = jnp.where(inA, jnp.float32(-1e30), ld) \
+                            .max(-1, keepdims=True)
+                        e = jnp.exp(ld - jnp.where(inA, mA, mB))
+                    eA = jnp.where(inA, e, jnp.float32(0.0))
+                    sA = eA.sum(-1, keepdims=True)
+                    sB = (e - eA).sum(-1, keepdims=True)
+                    probs = (e / jnp.where(inA, sA, sB)).astype(tok.dtype)
+                    o_parts.append(jnp.concatenate([
+                        jax.lax.dot_general(
+                            probs[:, :, 0:64], v[:, 0:64, :],
+                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=f32, precision=prec),
+                        jax.lax.dot_general(
+                            probs[:, :, 64:P], v[:, 64:P, :],
+                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=f32, precision=prec),
+                    ], axis=1).astype(tok.dtype))
+                    continue
                 logits = logits + smask_ref[h].astype(f32)
                 if cheap:
                     # bf16 path: skip the max-subtraction reduce — post-LN
@@ -306,10 +360,10 @@ def stage_reference(x, p, *, scale, num_heads, use_shift, has_mod):
 
 @functools.partial(jax.jit, static_argnames=(
     "scale", "num_heads", "use_shift", "has_mod", "interpret", "vmem_mb",
-    "parts", "dw_bf16", "ileave", "gpar"))
+    "parts", "dw_bf16", "ileave", "gpar", "diag_softmax"))
 def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
                 interpret=False, vmem_mb=0, parts="both", dw_bf16=None,
-                ileave=0, gpar=0):
+                ileave=0, gpar=0, diag_softmax=None):
     """x: (B, H, W, C); p: dict of per-block-stacked weights:
     ln1_s/ln1_b (n, C), wq (n, C, C), bq (n, C), wk/wv (n, C, C),
     bk/bv (n, C), wo (n, C, C), bo (n, C), bias (n, nH, 64, 64) fp32,
@@ -362,9 +416,13 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
             p["w1"], vec(p["b1"]), p["wd"], vec(p["bd"]), p["w2"],
             vec(p["b2"]))
 
+    if diag_softmax is None:
+        diag_softmax = _DIAG_SM
+    diag = bool(diag_softmax) and g == 2
+
     kernel = _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g,
                                 float(scale), use_shift, has_mod, x.dtype,
-                                parts, dw_bf16, ileave)
+                                parts, dw_bf16, ileave, diag)
 
     def wspec(a):
         shape = (1,) + a.shape[1:]
@@ -387,8 +445,9 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
             pltpu.VMEM((B, H, W, C), x.dtype),
             pltpu.VMEM((ileave * (H + 2), W + 2, Ch), x.dtype),
             # combined bias+mask: bf16 on the bf16 path (logits already
-            # carry 2^-8 input noise; halves the largest scratch at 128²)
-            pltpu.VMEM((nH, T // g, g * 64, g * 64),
+            # carry 2^-8 input noise; halves the largest scratch at 128²);
+            # diag packing halves the window-pair axis again
+            pltpu.VMEM((nH, T // g, 64 if diag else g * 64, g * 64),
                        x.dtype if x.dtype == jnp.bfloat16
                        else jnp.float32),
         ],
