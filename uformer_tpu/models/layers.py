@@ -947,17 +947,22 @@ class BasicLayer(nn.Module):
         # fused_stage auto rule, incl. its B % 2 parity) — doubles the
         # hidden scratch and the double-buffered I/O windows. Odd B has
         # no even chunk, so il = 1 keeps bc = B legal.
-        il = 2 if (B % 2 == 0 and C <= 256 and Twin >= 64) else 1
+        il = 2 if (B % 2 == 0 and C <= 256 and Twin == 64) else 1
         fixed = (self.num_heads * Twin * 4096 * gpar * sm_it   # smask
                  + il * (H + 2) * (W + 2) * int(C * self.mlp_ratio)
                  * itemsize
                  + 4 * il * H * W * C * itemsize)  # in+out, 2-level
-        # Twin <= 64: at T = 256 windows (128² stages) the whole-image
-        # attention temporaries exceed Mosaic's register budget (~84 MB
-        # of spill slots, measured) regardless of batch chunking — those
-        # stages keep the per-block kernels.
+        # Twin <= 64 by default: at T = 256 windows (128² stages) the
+        # WHOLE-IMAGE attention temporaries exceeded Mosaic's register
+        # budget (~84 MB of spill slots, measured) — stage.py now chunks
+        # the inner loops (nck/nls) to cap them, but the T = 256 route
+        # stays opt-in (UFORMER_TPU_MEGA_T256=1) until hardware-A/B'd;
+        # ungated stages keep the per-block kernels.
+        import os as _os
+        tmax = (256 if _os.environ.get("UFORMER_TPU_MEGA_T256", "0")
+                == "1" else 64)
         bc = 0
-        if (0 < Twin <= 64 and H * W * C * itemsize <= cap
+        if (0 < Twin <= tmax and H * W * C * itemsize <= cap
                 and fixed + H * W * C * itemsize <= _MEGA_VMEM_TOTAL_MB
                 * 2**20):
             bc = B

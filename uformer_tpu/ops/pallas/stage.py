@@ -56,7 +56,7 @@ _DIAG_SM = os.environ.get("UFORMER_TPU_DIAG_SOFTMAX", "0") == "1"
 @functools.lru_cache(maxsize=None)
 def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                        has_mod, out_dtype, parts="both", dw_bf16=False,
-                       ileave=1, diag=False):
+                       ileave=1, diag=False, nck=1, nls=1):
     """One kernel per stage geometry. win == 8, C % 128 == 0 (on TPU).
 
     `ileave`: images processed per grid step. The per-image phase chain
@@ -66,7 +66,14 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
     image's matmuls with the other's vector phases. Measured (v5e,
     bs8@256² stage geometries): enc2 4.27 -> 3.98 ms, dec1 7.36 ->
     7.13 ms (enc3 at 32² regressed 1.75 -> 1.98, so the auto rule
-    keeps T >= 64 only)."""
+    keeps T >= 64 only).
+
+    `nck`/`nls`: static inner-loop chunking for the T > 64 stages —
+    attention runs `nck` window-pair chunks and LeFF `nls` row-strips,
+    capping the traced whole-image temporaries (the (T//g, P, P) logits
+    volume and the (H*W, Ch) f32 hidden) that spilled Mosaic's register
+    budget at T = 256. nck == nls == 1 reproduces the validated T <= 64
+    op sequence exactly."""
     W8 = W // 8
     H8 = H // 8
     T = H8 * W8          # windows per image
@@ -196,88 +203,108 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
             tok = (tok.reshape(T, 64, C)
                    + mod_ref[0][None].astype(tok.dtype)).reshape(T * 64, C)
 
-        out = jnp.zeros((T * 64, C), f32)
-        for gi in range(nG):
-            # head-group weights are lane/sublane slices of the raw
-            # (C, C) projection matrices — no host-side transpose pass
-            gsl = slice(gi * hg * D, (gi + 1) * hg * D)
+        # Tc window-pairs per chunk (nck == 1: whole image at once, the
+        # validated T <= 64 sequence). Chunks are static row slices of
+        # `tok`, so each chunk's q/k/v/logits temporaries die before the
+        # next chunk traces — this is what keeps T = 256 inside Mosaic's
+        # register budget.
+        Tc = (T // g) // nck
+        out_chunks = []
+        for ci in range(nck):
+            csl = slice(ci * Tc * P, (ci + 1) * Tc * P)
+            tok_c = tok[csl]
+            out_c = jnp.zeros((Tc * P, C), f32)
+            for gi in range(nG):
+                # head-group weights are lane/sublane slices of the raw
+                # (C, C) projection matrices — no host-side transpose pass
+                gsl = slice(gi * hg * D, (gi + 1) * hg * D)
 
-            def proj(w_ref, b_ref, gsl=gsl):
-                y = jax.lax.dot_general(
-                    tok, w_ref[0][:, gsl],
+                def proj(w_ref, b_ref, gsl=gsl, tok_c=tok_c):
+                    y = jax.lax.dot_general(
+                        tok_c, w_ref[0][:, gsl],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32, precision=prec)
+                    return (y + b_ref[0, 0, gsl].astype(f32)) \
+                        .astype(tok_c.dtype)
+
+                # fold the softmax scale into q right after the projection
+                # (one cheap pass over (Tc*P, hg*D)) so the (Tc, P, P)
+                # logits tensor skips a full scalar-multiply pass
+                qg = (proj(wq_ref, bq_ref).astype(f32)
+                      * jnp.float32(scale)).astype(tok_c.dtype)
+                kg = proj(wk_ref, bk_ref)
+                vg = proj(wv_ref, bv_ref)
+                o_parts = []
+                for hh in range(hg):
+                    h = gi * hg + hh
+                    sl = slice(hh * D, (hh + 1) * D)
+                    q = qg[:, sl].reshape(Tc, P, D)
+                    k = kg[:, sl].reshape(Tc, P, D)
+                    v = vg[:, sl].reshape(Tc, P, D)
+                    logits = jax.lax.dot_general(
+                        q, k,
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=f32, precision=prec)
+                    smask_c = smask_ref[h, ci * Tc:(ci + 1) * Tc]
+                    if diag:
+                        # softmax over the packed diagonal blocks only —
+                        # half the exp/add/div volume at full lane width
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (Tc, 64, P), 2)
+                        inA = lane < 64
+                        ld = jnp.where(inA, logits[:, 0:64, :],
+                                       logits[:, 64:P, :]) \
+                            + smask_c.astype(f32)
+                        if cheap:
+                            e = jnp.exp(jnp.minimum(ld, jnp.float32(80.0)))
+                        else:
+                            eA0 = jnp.where(inA, ld, jnp.float32(-1e30))
+                            mA = eA0.max(-1, keepdims=True)
+                            mB = jnp.where(inA, jnp.float32(-1e30), ld) \
+                                .max(-1, keepdims=True)
+                            e = jnp.exp(ld - jnp.where(inA, mA, mB))
+                        eA = jnp.where(inA, e, jnp.float32(0.0))
+                        sA = eA.sum(-1, keepdims=True)
+                        sB = (e - eA).sum(-1, keepdims=True)
+                        probs = (e / jnp.where(inA, sA, sB)) \
+                            .astype(tok_c.dtype)
+                        o_parts.append(jnp.concatenate([
+                            jax.lax.dot_general(
+                                probs[:, :, 0:64], v[:, 0:64, :],
+                                dimension_numbers=(((2,), (1,)),
+                                                   ((0,), (0,))),
+                                preferred_element_type=f32, precision=prec),
+                            jax.lax.dot_general(
+                                probs[:, :, 64:P], v[:, 64:P, :],
+                                dimension_numbers=(((2,), (1,)),
+                                                   ((0,), (0,))),
+                                preferred_element_type=f32, precision=prec),
+                        ], axis=1).astype(tok_c.dtype))
+                        continue
+                    logits = logits + smask_c.astype(f32)
+                    if cheap:
+                        # bf16 path: skip the max-subtraction reduce —
+                        # post-LN logits are bounded far below exp's f32
+                        # overflow (clamped at 80; masked lanes are -100)
+                        e = jnp.exp(jnp.minimum(logits, jnp.float32(80.0)))
+                        probs = (e / e.sum(-1, keepdims=True)) \
+                            .astype(tok_c.dtype)
+                    else:
+                        probs = jax.nn.softmax(logits, axis=-1) \
+                            .astype(tok_c.dtype)
+                    o_parts.append(jax.lax.dot_general(
+                        probs, v,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=f32, precision=prec,
+                    ).astype(tok_c.dtype))
+                og = (o_parts[0] if hg == 1
+                      else jnp.concatenate(o_parts, axis=-1))
+                out_c = out_c + jax.lax.dot_general(
+                    og.reshape(Tc * P, hg * D), wo_ref[0][gsl, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=f32, precision=prec)
-                return (y + b_ref[0, 0, gsl].astype(f32)).astype(tok.dtype)
-
-            # fold the softmax scale into q right after the projection
-            # (one cheap pass over (T*64, hg*D)) so the (T//g, P, P)
-            # logits tensor skips a full scalar-multiply pass
-            qg = (proj(wq_ref, bq_ref).astype(f32)
-                  * jnp.float32(scale)).astype(tok.dtype)
-            kg = proj(wk_ref, bk_ref)
-            vg = proj(wv_ref, bv_ref)
-            o_parts = []
-            for hh in range(hg):
-                h = gi * hg + hh
-                sl = slice(hh * D, (hh + 1) * D)
-                q = qg[:, sl].reshape(T // g, P, D)
-                k = kg[:, sl].reshape(T // g, P, D)
-                v = vg[:, sl].reshape(T // g, P, D)
-                logits = jax.lax.dot_general(
-                    q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=f32, precision=prec)
-                if diag:
-                    # softmax over the packed diagonal blocks only —
-                    # half the exp/add/div volume at full lane width
-                    lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (T // g, 64, P), 2)
-                    inA = lane < 64
-                    ld = jnp.where(inA, logits[:, 0:64, :],
-                                   logits[:, 64:P, :]) \
-                        + smask_ref[h].astype(f32)
-                    if cheap:
-                        e = jnp.exp(jnp.minimum(ld, jnp.float32(80.0)))
-                    else:
-                        eA0 = jnp.where(inA, ld, jnp.float32(-1e30))
-                        mA = eA0.max(-1, keepdims=True)
-                        mB = jnp.where(inA, jnp.float32(-1e30), ld) \
-                            .max(-1, keepdims=True)
-                        e = jnp.exp(ld - jnp.where(inA, mA, mB))
-                    eA = jnp.where(inA, e, jnp.float32(0.0))
-                    sA = eA.sum(-1, keepdims=True)
-                    sB = (e - eA).sum(-1, keepdims=True)
-                    probs = (e / jnp.where(inA, sA, sB)).astype(tok.dtype)
-                    o_parts.append(jnp.concatenate([
-                        jax.lax.dot_general(
-                            probs[:, :, 0:64], v[:, 0:64, :],
-                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=f32, precision=prec),
-                        jax.lax.dot_general(
-                            probs[:, :, 64:P], v[:, 64:P, :],
-                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=f32, precision=prec),
-                    ], axis=1).astype(tok.dtype))
-                    continue
-                logits = logits + smask_ref[h].astype(f32)
-                if cheap:
-                    # bf16 path: skip the max-subtraction reduce — post-LN
-                    # logits are bounded far below exp's f32 overflow
-                    # (clamped at 80 for safety; masked lanes are -100)
-                    e = jnp.exp(jnp.minimum(logits, jnp.float32(80.0)))
-                    probs = (e / e.sum(-1, keepdims=True)).astype(tok.dtype)
-                else:
-                    probs = jax.nn.softmax(logits, axis=-1) \
-                        .astype(tok.dtype)
-                o_parts.append(jax.lax.dot_general(
-                    probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=f32, precision=prec,
-                ).astype(tok.dtype))
-            og = (o_parts[0] if hg == 1
-                  else jnp.concatenate(o_parts, axis=-1))
-            out = out + jax.lax.dot_general(
-                og.reshape(T * 64, hg * D), wo_ref[0][gsl, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec)
+            out_chunks.append(out_c)
+        out = out_chunks[0] if nck == 1 else jnp.concatenate(out_chunks)
         out = (out + bo_ref[0].astype(f32)).astype(xcur.dtype)
         out = out.reshape(T, 64, C)
         img = jnp.concatenate(
@@ -297,36 +324,49 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
         # hidden scratch — sharing one slab would serialize the chains
         # through a write-after-read hazard
         r0 = u * (H + 2)
+        S = H // nls  # rows per strip; nls == 1 is the validated path
         tok2 = ln(xcur, ln2_s_ref, ln2_b_ref).reshape(H * W, C)
-        hcore = jax.lax.dot_general(
-            tok2, w1_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=prec)
-        hcore = _gelu(hcore + b1_ref[0].astype(f32), cheap=cheap) \
-            .astype(xcur.dtype).reshape(H, W, Ch)
         zrow = jnp.zeros((1, W + 2, Ch), xcur.dtype)
-        zcol = jnp.zeros((H, 1, Ch), xcur.dtype)
         hid_ref[r0:r0 + 1] = zrow
         hid_ref[r0 + H + 1:r0 + H + 2] = zrow
-        hid_ref[r0 + 1:r0 + H + 1] = jnp.concatenate(
-            [zcol, hcore, zcol], axis=1)
+        zcol = jnp.zeros((S, 1, Ch), xcur.dtype)
+        # phase 1: hidden projection + gelu, strip-wise into the padded
+        # VMEM slab (caps the (H*W, Ch) f32 temporary at S*W rows)
+        for si in range(nls):
+            hcore = jax.lax.dot_general(
+                tok2[si * S * W:(si + 1) * S * W], w1_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            hcore = _gelu(hcore + b1_ref[0].astype(f32), cheap=cheap) \
+                .astype(xcur.dtype).reshape(S, W, Ch)
+            hid_ref[r0 + 1 + si * S:r0 + 1 + (si + 1) * S] = \
+                jnp.concatenate([zcol, hcore, zcol], axis=1)
         # dw_bf16: accumulate the 9 taps in the activation dtype (one
         # mul+add per tap instead of convert+mul+add in f32) — a VPU-pass
         # knob for the bf16 serving path; worst-case 9-tap bf16
         # accumulation error ~2^-8 relative, below the bf16 activations'
         # own quantization noise downstream
         acc_dt = xcur.dtype if (dw_bf16 and cheap) else f32
-        acc = jnp.zeros((H, W, Ch), acc_dt)
-        for dy in range(3):
-            rows3 = hid_ref[r0 + dy:r0 + dy + H]
-            for dx in range(3):
-                acc += rows3[:, dx:dx + W].astype(acc_dt) * \
-                    wd_ref[0, dy, dx, :].astype(acc_dt)
-        acc = _gelu(acc.astype(f32) + bd_ref[0].astype(f32), cheap=cheap)
-        out2 = jax.lax.dot_general(
-            acc.astype(xcur.dtype).reshape(H * W, Ch), w2_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=prec)
-        out2 = (out2 + b2_ref[0].astype(f32)).astype(xcur.dtype)
+        # phase 2: 9-tap depthwise + gelu + output projection, strip-wise
+        # (the slab is fully written, so each strip's 1-row halo reads are
+        # plain offset loads)
+        out_strips = []
+        for si in range(nls):
+            acc = jnp.zeros((S, W, Ch), acc_dt)
+            for dy in range(3):
+                rows3 = hid_ref[r0 + si * S + dy:r0 + si * S + dy + S]
+                for dx in range(3):
+                    acc += rows3[:, dx:dx + W].astype(acc_dt) * \
+                        wd_ref[0, dy, dx, :].astype(acc_dt)
+            acc = _gelu(acc.astype(f32) + bd_ref[0].astype(f32),
+                        cheap=cheap)
+            out2 = jax.lax.dot_general(
+                acc.astype(xcur.dtype).reshape(S * W, Ch), w2_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec)
+            out_strips.append((out2 + b2_ref[0].astype(f32))
+                              .astype(xcur.dtype))
+        out2 = out_strips[0] if nls == 1 else jnp.concatenate(out_strips)
         return xcur + out2.reshape(H, W, C)
 
     return kernel
@@ -360,10 +400,10 @@ def stage_reference(x, p, *, scale, num_heads, use_shift, has_mod):
 
 @functools.partial(jax.jit, static_argnames=(
     "scale", "num_heads", "use_shift", "has_mod", "interpret", "vmem_mb",
-    "parts", "dw_bf16", "ileave", "gpar", "diag_softmax"))
+    "parts", "dw_bf16", "ileave", "gpar", "diag_softmax", "nck", "nls"))
 def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
                 interpret=False, vmem_mb=0, parts="both", dw_bf16=None,
-                ileave=0, gpar=0, diag_softmax=None):
+                ileave=0, gpar=0, diag_softmax=None, nck=0, nls=0):
     """x: (B, H, W, C); p: dict of per-block-stacked weights:
     ln1_s/ln1_b (n, C), wq (n, C, C), bq (n, C), wk/wv (n, C, C),
     bk/bv (n, C), wo (n, C, C), bo (n, C), bias (n, nH, 64, 64) fp32,
@@ -393,8 +433,9 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         # 2-image interleave on the 64² stages only (T == 64, C <= 256):
         # A/B on v5e bs8 measured enc2 4.27 -> 3.98, dec1 7.36 -> 7.13,
         # but enc3 (32²) 1.75 -> 1.98 and C=512 risks temporary spill —
-        # the smaller stages keep one image per grid step
-        ileave = 2 if (B % 2 == 0 and C <= 256 and T >= 64) else 1
+        # the smaller stages keep one image per grid step; T > 64 keeps
+        # ileave=1 (its hidden slab alone is ~17 MB at dec2)
+        ileave = 2 if (B % 2 == 0 and C <= 256 and T == 64) else 1
     elif B % ileave:
         # grid=(n, B // ileave) would silently skip the trailing
         # B % ileave images — fall back to one image per grid step
@@ -420,9 +461,30 @@ def fused_stage(x, p, *, scale, num_heads, use_shift, has_mod,
         diag_softmax = _DIAG_SM
     diag = bool(diag_softmax) and g == 2
 
+    # T > 64 (the 128²+ stages): chunk the attention over <=32 window
+    # pairs and LeFF over row strips whose f32 hidden stays <=8 MB, so no
+    # traced temporary exceeds what the validated 64² stages allocate.
+    # T <= 64 keeps nck == nls == 1 — the hardware-validated sequence.
+    # Explicit nck/nls override the auto rule (must divide T//g / H).
+    Tg = T // g
+    if not nck:
+        nck = 1
+        if T > 64:
+            while Tg // nck > 32 and Tg % (nck * 2) == 0:
+                nck *= 2
+    if not nls:
+        nls = 1
+        if T > 64:
+            while H // nls > 8 and (H // nls) * W * Ch * 4 > 8 * 2**20 \
+                    and H % (nls * 2) == 0:
+                nls *= 2
+    if Tg % nck or H % nls:
+        raise ValueError(f"nck={nck} must divide T//g={Tg} and "
+                         f"nls={nls} must divide H={H}")
+
     kernel = _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g,
                                 float(scale), use_shift, has_mod, x.dtype,
-                                parts, dw_bf16, ileave, diag)
+                                parts, dw_bf16, ileave, diag, nck, nls)
 
     def wspec(a):
         shape = (1,) + a.shape[1:]
