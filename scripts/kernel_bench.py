@@ -222,18 +222,35 @@ def bench_stage(B):
 
     from uformer_tpu.ops.pallas.stage import fused_stage
 
+    t256 = os.environ.get("UFORMER_TPU_MEGA_T256", "0") == "1"
     rows = []
     for name, reso, C, nH, depth in STAGES:
         itemsize = 2
         Ch = 4 * C
-        if (C % 128 or reso < 8
-                or max(B * reso * reso * C,
-                       (reso + 2) * (reso + 2) * Ch) * itemsize > 24 * 2**20):
+        T = (reso // 8) ** 2 if reso % 8 == 0 else 0
+        if C % 128 or reso < 8 or T == 0 or (T > 64 and not t256):
+            continue
+        # batch chunk that fits the model's VMEM budget (mirrors
+        # BasicLayer: 24 MB image cap + 64 MB co-residency total); the
+        # validated stages keep bc == B, dec2@128² runs chunks of 2 and
+        # the row reports the model-total time (t * B/bc)
+        il = 2 if (B % 2 == 0 and C <= 256 and T == 64) else 1
+        gpar = 2 if T % 2 == 0 else 1
+        img = reso * reso * C * itemsize
+        fixed = (nH * T * 4096 * gpar * itemsize
+                 + il * (reso + 2) * (reso + 2) * Ch * itemsize
+                 + 4 * il * img)
+        bc = B
+        while bc > 1 and (B % bc or bc % il or bc * img > 24 * 2**20
+                          or fixed + bc * img > 64 * 2**20):
+            bc -= 1
+        if (max(bc * reso * reso * C,
+                (reso + 2) * (reso + 2) * Ch) * itemsize > 24 * 2**20):
             continue
         n = depth
         rng = np.random.default_rng(0)
         x = jnp.asarray(
-            rng.normal(size=(B, reso, reso, C)).astype(np.float32) * 0.3,
+            rng.normal(size=(bc, reso, reso, C)).astype(np.float32) * 0.3,
             jnp.bfloat16)
         r = lambda *s: jnp.asarray(  # noqa: E731
             rng.normal(size=s).astype(np.float32) * 0.05, jnp.bfloat16)
@@ -259,7 +276,7 @@ def bench_stage(B):
                                    has_mod=True,
                                    parts="leff" if dwb else parts,
                                    dw_bf16=dwb)
-            t = measure(call, x, p)
+            t = measure(call, x, p) * (B // bc)
             part_flops = {
                 "attn": 8 * C * C + 4 * 128 * C,
                 "leff": 16 * C * C + 18 * Ch,
