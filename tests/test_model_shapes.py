@@ -50,6 +50,7 @@ def test_uformer_shift_flag_variants():
         assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_uformer_dd_in_4ch():
     model = tiny_uformer(dd_in=4)
     x = jnp.ones((1, 32, 32, 4))
