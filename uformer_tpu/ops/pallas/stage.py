@@ -241,20 +241,30 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                     q = qg[:, sl].reshape(Tc, P, D)
                     k = kg[:, sl].reshape(Tc, P, D)
                     v = vg[:, sl].reshape(Tc, P, D)
-                    logits = jax.lax.dot_general(
-                        q, k,
-                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=f32, precision=prec)
                     smask_c = smask_ref[h, ci * Tc:(ci + 1) * Tc]
                     if diag:
-                        # softmax over the packed diagonal blocks only —
-                        # half the exp/add/div volume at full lane width
+                        # compute ONLY the two valid diagonal 64x64
+                        # blocks, laid out at full lane width — halves
+                        # the QK MXU flops as well as the softmax
+                        # exp/add/div volume (the packed row i holds
+                        # window A's row i in lanes 0-63 and window B's
+                        # in lanes 64-127, matching the smask layout)
+                        bn = (((2,), (2,)), ((0,), (0,)))
+                        ld = jnp.concatenate([
+                            jax.lax.dot_general(
+                                q[:, 0:64], k[:, 0:64],
+                                dimension_numbers=bn,
+                                preferred_element_type=f32,
+                                precision=prec),
+                            jax.lax.dot_general(
+                                q[:, 64:P], k[:, 64:P],
+                                dimension_numbers=bn,
+                                preferred_element_type=f32,
+                                precision=prec),
+                        ], axis=-1) + smask_c.astype(f32)
                         lane = jax.lax.broadcasted_iota(
                             jnp.int32, (Tc, 64, P), 2)
                         inA = lane < 64
-                        ld = jnp.where(inA, logits[:, 0:64, :],
-                                       logits[:, 64:P, :]) \
-                            + smask_c.astype(f32)
                         if cheap:
                             e = jnp.exp(jnp.minimum(ld, jnp.float32(80.0)))
                         else:
@@ -281,6 +291,10 @@ def _make_stage_kernel(n, B, H, W, C, Ch, nH, D, hg, g, scale, use_shift,
                                 preferred_element_type=f32, precision=prec),
                         ], axis=1).astype(tok_c.dtype))
                         continue
+                    logits = jax.lax.dot_general(
+                        q, k,
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=f32, precision=prec)
                     logits = logits + smask_c.astype(f32)
                     if cheap:
                         # bf16 path: skip the max-subtraction reduce —
