@@ -952,14 +952,16 @@ class BasicLayer(nn.Module):
                  + il * (H + 2) * (W + 2) * int(C * self.mlp_ratio)
                  * itemsize
                  + 4 * il * H * W * C * itemsize)  # in+out, 2-level
-        # Twin <= 64 by default: at T = 256 windows (128² stages) the
-        # WHOLE-IMAGE attention temporaries exceeded Mosaic's register
-        # budget (~84 MB of spill slots, measured) — stage.py now chunks
-        # the inner loops (nck/nls) to cap them, but the T = 256 route
-        # stays opt-in (UFORMER_TPU_MEGA_T256=1) until hardware-A/B'd;
-        # ungated stages keep the per-block kernels.
+        # T = 256 windows (128² stages): the WHOLE-IMAGE attention
+        # temporaries used to exceed Mosaic's register budget (~84 MB of
+        # spill slots, measured) — stage.py chunks the inner loops
+        # (nck/nls) to cap them. Hardware-A/B'd 2026-08-20: default ON —
+        # headline 14.24 vs 13.93 MP/s, dec2 stage 3.72 vs 4.32 ms
+        # per-block, no Mosaic spill warnings
+        # (bench_artifacts/ab/q_infer_t256.txt). Opt out with
+        # UFORMER_TPU_MEGA_T256=0.
         import os as _os
-        tmax = (256 if _os.environ.get("UFORMER_TPU_MEGA_T256", "0")
+        tmax = (256 if _os.environ.get("UFORMER_TPU_MEGA_T256", "1")
                 == "1" else 64)
         bc = 0
         if (0 < Twin <= tmax and H * W * C * itemsize <= cap
