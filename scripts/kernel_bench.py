@@ -222,7 +222,7 @@ def bench_stage(B):
 
     from uformer_tpu.ops.pallas.stage import fused_stage
 
-    t256 = os.environ.get("UFORMER_TPU_MEGA_T256", "0") == "1"
+    t256 = os.environ.get("UFORMER_TPU_MEGA_T256", "1") == "1"
     rows = []
     for name, reso, C, nH, depth in STAGES:
         itemsize = 2
