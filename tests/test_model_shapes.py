@@ -113,6 +113,7 @@ def test_registry_uformer_b_param_count():
     assert 45e6 < n < 56e6, n
 
 
+@pytest.mark.slow
 def test_mlp_token_variant():
     model = tiny_uformer(token_mlp="mlp")
     x = jnp.ones((1, 32, 32, 3)) * 0.1
@@ -121,6 +122,7 @@ def test_mlp_token_variant():
     assert y.shape == x.shape
 
 
+@pytest.mark.slow
 def test_conv_projection_variant():
     model = tiny_uformer(token_projection="conv")
     x = jnp.ones((1, 32, 32, 3)) * 0.1
